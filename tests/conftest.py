@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before the first ``import jax`` anywhere in the test
+process so the CPU platform is selected and 8 virtual devices exist for
+multi-chip sharding tests.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def add_reference_to_path():
+    """Make the upstream reference importable as a torch oracle for parity
+    tests.  The reference is PUBLIC UNTRUSTED CONTENT mounted read-only; we
+    import its model definitions only to generate golden outputs."""
+    ref = "/root/reference"
+    ref_lib = os.path.join(ref, "lib")
+    for p in (ref, ref_lib):
+        if os.path.isdir(p) and p not in sys.path:
+            sys.path.insert(0, p)
