@@ -1,0 +1,58 @@
+"""On-device heatmap NMS and top-k peak extraction.
+
+Replaces the reference's maxpool NMS + topk + gather that round-trips
+through the host (``/root/reference/lib/core/group.py:131-176``, host copy
+at :170-174) and the C++ windowed scan
+(``/root/reference/nano_demo/fast_utils/parse/find_peaks.cpp:9-97``) with a
+fully batched, static-shape XLA program: ``reduce_window`` max-pool equality
+NMS, ``lax.top_k`` over the flattened spatial axis, and vectorized gathers.
+Everything stays in HBM/VMEM — no host transfer until final keypoints.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def heatmap_nms(det: jnp.ndarray, kernel: int = 5, padding: int = 2) -> jnp.ndarray:
+    """Suppress non-local-maxima. det: (..., H, W) — torch
+    ``MaxPool2d(kernel, stride=1, padding)`` equality semantics."""
+    ndim = det.ndim
+    window = (1,) * (ndim - 2) + (kernel, kernel)
+    strides = (1,) * ndim
+    pads = [(0, 0)] * (ndim - 2) + [(padding, padding), (padding, padding)]
+    maxm = lax.reduce_window(det, -jnp.inf, lax.max, window, strides, pads)
+    return det * (maxm == det).astype(det.dtype)
+
+
+def top_k_peaks(
+    det: jnp.ndarray,
+    tag: jnp.ndarray,
+    max_people: int,
+    nms_kernel: int = 5,
+    nms_padding: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-joint top-M peaks with tag vectors, one image.
+
+    Args:
+      det: (K, H, W) heatmaps.
+      tag: (K, H, W, T) tag maps.
+      max_people: M.
+
+    Returns:
+      tag_k: (K, M, T), loc_k: (K, M, 2) float32 xy, val_k: (K, M).
+    """
+    K, H, W = det.shape
+    T = tag.shape[-1]
+    det_n = heatmap_nms(det, nms_kernel, nms_padding).reshape(K, H * W)
+    val_k, ind = lax.top_k(det_n, max_people)  # sorted desc, like torch.topk
+    tag_flat = tag.reshape(K, H * W, T)
+    tag_k = jnp.take_along_axis(tag_flat, ind[..., None], axis=1)
+    x = (ind % W).astype(jnp.float32)
+    y = (ind // W).astype(jnp.float32)
+    loc_k = jnp.stack([x, y], axis=2)
+    return tag_k, loc_k, val_k
