@@ -1,0 +1,195 @@
+"""PoseEngine: end-to-end image -> people pipeline, decode fused on device.
+
+Replaces the reference eval/deployment loop
+(``/root/reference/valid.py:195-245`` and
+``/root/reference/nano_demo/core/__init__.py:35-80``) with a TPU-first
+design: for each input-shape bucket (the 64-px-aligned resize ladder yields
+a small set of shapes) ONE jitted XLA program performs normalization,
+forward pass, flip-test, stage aggregation, projection, NMS/top-k, AE
+grouping, adjustment, and refinement.  Only the final fixed-size keypoint
+arrays cross back to the host, where a 2x3 inverse affine maps them to
+source-image coordinates.
+
+The reference's host bottleneck — ``.cpu().numpy()`` mid-parse followed by
+per-joint Python Munkres (``/root/reference/lib/core/group.py:170-174``) —
+does not exist here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.affine import (
+    get_affine_transform,
+    get_final_preds,
+    get_multi_scale_size,
+    warp_image,
+)
+from ..ops.group import StaticGroupCfg, parse_single
+from ..ops.group_ref import GroupParams
+from .inference import InferenceFlags, make_infer_fn, to_decode_layout
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    input_size: int = 448
+    scale_factors: Tuple[float, ...] = (1.0,)
+    with_adjust: bool = True
+    with_refine: bool = True
+    project2image: bool = True
+
+
+class PoseEngine:
+    """Bucketed-compile pose estimation engine.
+
+    Args:
+      apply_fn: ``(params, state, images_f32_nhwc) -> [stage outputs]``.
+      params, state: model pytrees (device-resident).
+      flags: InferenceFlags (stage aggregation + flip test config).
+      group: GroupParams (decode thresholds; joint order).
+      config: EngineConfig.
+    """
+
+    def __init__(self, apply_fn, params, state, flags: InferenceFlags,
+                 group: GroupParams, config: EngineConfig):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.state = state
+        self.flags = flags
+        self.group_cfg = StaticGroupCfg.from_params(group)
+        self.config = config
+        self._fused: Dict[Tuple[int, int], Callable] = {}
+        self._infer: Dict[Tuple[Tuple[int, int], Tuple[int, int], bool], Callable] = {}
+        self._decode: Dict[Tuple[int, int], Callable] = {}
+
+    # -- compiled program builders -----------------------------------------
+
+    def _fused_fn(self, in_hw: Tuple[int, int], out_hw: Optional[Tuple[int, int]]):
+        """Single-scale fully fused program: uint8 image -> people."""
+        key = in_hw
+        if key not in self._fused:
+            infer = make_infer_fn(self.apply_fn, self.flags, project_hw=out_hw)
+            gcfg = self.group_cfg
+            wa, wr = self.config.with_adjust, self.config.with_refine
+
+            @jax.jit
+            def fused(params, state, images_u8):
+                heat, tag = infer(params, state, images_u8)
+                det, tagt = to_decode_layout(heat, tag)
+                return jax.vmap(
+                    lambda d, t: parse_single(d, t, gcfg, wa, wr)
+                )(det, tagt)
+
+            self._fused[key] = fused
+        return self._fused[key]
+
+    def _infer_fn(self, in_hw, out_hw, keep_tags: bool):
+        key = (in_hw, out_hw, keep_tags)
+        if key not in self._infer:
+            infer = make_infer_fn(self.apply_fn, self.flags, project_hw=out_hw)
+
+            @jax.jit
+            def run(params, state, images_u8):
+                heat, tag = infer(params, state, images_u8)
+                return heat, (tag if keep_tags else None)
+
+            self._infer[key] = run
+        return self._infer[key]
+
+    def _decode_fn(self, hw):
+        if hw not in self._decode:
+            gcfg = self.group_cfg
+            wa, wr = self.config.with_adjust, self.config.with_refine
+
+            @jax.jit
+            def decode(heat, tag):
+                det, tagt = to_decode_layout(heat, tag)
+                return jax.vmap(
+                    lambda d, t: parse_single(d, t, gcfg, wa, wr)
+                )(det, tagt)
+
+            self._decode[hw] = decode
+        return self._decode[hw]
+
+    # -- public API ----------------------------------------------------------
+
+    def process(self, image_rgb_u8: np.ndarray):
+        """Full multi-scale + flip eval for one image (reference
+        ``valid.py:195-245`` semantics).
+
+        Returns (people list of (K, 3+T) arrays in source coords, scores).
+        """
+        cfg = self.config
+        scales = sorted(cfg.scale_factors, reverse=True)
+        min_scale = min(cfg.scale_factors)
+        base_size, center, scale = get_multi_scale_size(
+            image_rgb_u8.shape[:2], cfg.input_size, 1.0, min_scale
+        )
+        base_hw = (base_size[1], base_size[0])
+        project_hw = base_hw if cfg.project2image else None
+
+        if len(scales) == 1 and scales[0] == 1.0:
+            size_resized, center, scale = get_multi_scale_size(
+                image_rgb_u8.shape[:2], cfg.input_size, 1.0, min_scale
+            )
+            mat = get_affine_transform(center, scale, 0, size_resized)
+            img = warp_image(image_rgb_u8, mat, size_resized)
+            fn = self._fused_fn((img.shape[0], img.shape[1]), project_hw)
+            people, scores, n = fn(self.params, self.state, img[None])
+            hm_hw = project_hw if project_hw is not None else None
+            return self._finalize(people, scores, n, center, scale, hm_hw)
+
+        # multi-scale: accumulate heatmaps across scales, tags at scale 1
+        heat_sum = None
+        tags_keep = None
+        for s in scales:
+            size_resized, center, scale = get_multi_scale_size(
+                image_rgb_u8.shape[:2], cfg.input_size, s, min_scale
+            )
+            mat = get_affine_transform(center, scale, 0, size_resized)
+            img = warp_image(image_rgb_u8, mat, size_resized)
+            keep = s == 1.0 or len(scales) == 1
+            run = self._infer_fn((img.shape[0], img.shape[1]), project_hw, keep)
+            heat, tag = run(self.params, self.state, img[None])
+            if not cfg.project2image and heat.shape[1:3] != base_hw:
+                heat = jax.image.resize(
+                    heat, (1, base_hw[0], base_hw[1], heat.shape[-1]), "bilinear"
+                )
+            heat_sum = heat if heat_sum is None else heat_sum + heat
+            if keep and tag is not None:
+                if not cfg.project2image and tag.shape[1:3] != base_hw:
+                    tag = jax.image.resize(
+                        tag,
+                        (1, base_hw[0], base_hw[1]) + tag.shape[3:],
+                        "bilinear",
+                    )
+                tags_keep = tag
+        heat = heat_sum / float(len(scales))
+        people, scores, n = self._decode_fn(base_hw)(heat, tags_keep)
+        return self._finalize(people, scores, n, center, scale, base_hw)
+
+    def _finalize(self, people, scores, n, center, scale, hm_hw):
+        people = np.asarray(people[0])
+        scores = np.asarray(scores[0])
+        n = int(n[0])
+        people, scores = people[:n], scores[:n].tolist()
+        finals = get_final_preds(people, center, scale, (hm_hw[1], hm_hw[0]))
+        return finals, scores
+
+    def process_batch_square(self, images_u8: np.ndarray):
+        """High-throughput serving path: a batch of images pre-resized to
+        the square ``input_size``; one fused program, batched decode.
+
+        Returns (people (B,P,K,3+T) in heatmap coords, scores (B,P),
+        counts (B,)); callers map coords with their own inverse affines.
+        """
+        hw = (images_u8.shape[1], images_u8.shape[2])
+        project_hw = hw if self.config.project2image else None
+        fn = self._fused_fn(hw, project_hw)
+        people, scores, n = fn(self.params, self.state, images_u8)
+        return np.asarray(people), np.asarray(scores), np.asarray(n)

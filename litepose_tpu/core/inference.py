@@ -1,0 +1,151 @@
+"""Jitted multi-stage output aggregation, flip test, multi-scale fusion.
+
+TPU redesign of the reference inference helpers
+(``/root/reference/lib/core/inference.py:75-208``): instead of a Python loop
+interleaving host logic with GPU calls, each (architecture, input shape,
+flags) combination builds ONE jitted function that runs the forward pass
+(plus the horizontally flipped forward when flip-test is on), upsamples and
+averages stage heatmaps, collects tag maps, and optionally projects both to
+the base image size — entirely on device.
+
+Aggregation semantics (must match for mAP parity):
+  * non-final stage outputs are bilinearly upsampled (align_corners=False)
+    to the final stage's size (inference.py:86-93);
+  * heatmaps from stages with WITH_HEATMAPS_LOSS & TEST.WITH_HEATMAPS are
+    averaged (inference.py:98-106);
+  * tags come from stages with WITH_AE_LOSS & TEST.WITH_AE (the first stage
+    only in LitePose configs) (inference.py:102-103);
+  * flip test: forward the mirrored image, mirror the outputs back, permute
+    channels by the dataset flip index; heatmaps become the mean of the two
+    passes, and the flipped tags are stacked as an extra tag feature
+    (inference.py:108-146, aggregate_results :176-208);
+  * multi-scale: heatmaps summed across scales (caller divides), tags kept
+    at scale 1 only (aggregate_results :179-206).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class InferenceFlags(NamedTuple):
+    """Static decode-time configuration (hashable; safe to close over jit)."""
+
+    num_joints: int
+    with_heatmaps_loss: Tuple[bool, ...]
+    with_ae_loss: Tuple[bool, ...]
+    test_with_heatmaps: Tuple[bool, ...]
+    test_with_ae: Tuple[bool, ...]
+    tag_per_joint: bool = True
+    flip_test: bool = False
+    flip_index: Tuple[int, ...] = ()
+    project2image: bool = False
+    ignore_center: bool = False  # WITH_CENTER and TEST.IGNORE_CENTER
+
+    @staticmethod
+    def from_config(cfg, flip_index: Sequence[int]) -> "InferenceFlags":
+        return InferenceFlags(
+            num_joints=cfg.DATASET.NUM_JOINTS,
+            with_heatmaps_loss=tuple(cfg.LOSS.WITH_HEATMAPS_LOSS),
+            with_ae_loss=tuple(cfg.LOSS.WITH_AE_LOSS),
+            test_with_heatmaps=tuple(cfg.TEST.WITH_HEATMAPS),
+            test_with_ae=tuple(cfg.TEST.WITH_AE),
+            tag_per_joint=cfg.MODEL.TAG_PER_JOINT,
+            flip_test=cfg.TEST.FLIP_TEST,
+            flip_index=tuple(flip_index),
+            project2image=cfg.TEST.PROJECT2IMAGE,
+            ignore_center=bool(cfg.DATASET.WITH_CENTER and cfg.TEST.IGNORE_CENTER),
+        )
+
+
+def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB NHWC -> ImageNet-normalized float32 (reference ToTensor +
+    Normalize, /root/reference/lib/dataset/transforms/build.py:78-82)."""
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
+def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC bilinear resize, half-pixel centers (== torch
+    F.interpolate(mode='bilinear', align_corners=False))."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, hw[0], hw[1], c), method="bilinear")
+
+
+def _collect(outputs, flags: InferenceFlags):
+    """Upsample non-final stages, average heatmaps, gather tags (NHWC)."""
+    final_hw = outputs[-1].shape[1:3]
+    heat_sum = None
+    n_heat = 0
+    tags = []
+    for i, out in enumerate(outputs):
+        if len(outputs) > 1 and i != len(outputs) - 1:
+            out = _resize_bilinear(out, final_hw)
+        offset = flags.num_joints if flags.with_heatmaps_loss[i] else 0
+        if flags.with_heatmaps_loss[i] and flags.test_with_heatmaps[i]:
+            hm = out[..., : flags.num_joints]
+            heat_sum = hm if heat_sum is None else heat_sum + hm
+            n_heat += 1
+        if flags.with_ae_loss[i] and flags.test_with_ae[i]:
+            tags.append(out[..., offset:])
+    heat = heat_sum / n_heat if n_heat else None
+    return heat, tags
+
+
+def make_infer_fn(
+    apply_fn: Callable[..., Any],
+    flags: InferenceFlags,
+    project_hw: Optional[Tuple[int, int]] = None,
+) -> Callable:
+    """Build the per-shape jitted inference body.
+
+    ``apply_fn(params, state, images)`` must return the model's list of
+    stage outputs (NHWC).  The returned function maps
+    ``(params, state, images_u8)`` -> (heatmaps (B,H,W,J),
+    tags (B,H,W,J,T)) with flip/projection folded in.
+    """
+
+    def infer(params, state, images_u8):
+        x = normalize_images(images_u8)
+        outputs = apply_fn(params, state, x)
+        heat, tags = _collect(outputs, flags)
+
+        if flags.flip_test:
+            fidx = jnp.asarray(flags.flip_index, jnp.int32)
+            outputs_f = apply_fn(params, state, x[:, :, ::-1, :])
+            outputs_f = [o[:, :, ::-1, :] for o in outputs_f]
+            heat_f, tags_f = _collect(outputs_f, flags)
+            heat_f = jnp.take(heat_f, fidx, axis=3)
+            if flags.tag_per_joint:
+                tags_f = [jnp.take(t, fidx, axis=3) for t in tags_f]
+            heat = (heat + heat_f) / 2.0
+            tags = tags + tags_f
+
+        if flags.ignore_center:
+            heat = heat[..., :-1]
+            tags = [t[..., :-1] for t in tags]
+
+        if project_hw is not None:
+            heat = _resize_bilinear(heat, project_hw)
+            tags = [_resize_bilinear(t, project_hw) for t in tags]
+
+        tag = jnp.stack(tags, axis=-1)  # (B, H, W, J, T)
+        return heat, tag
+
+    return infer
+
+
+def to_decode_layout(heat: jnp.ndarray, tag: jnp.ndarray):
+    """NHWC aggregation layout -> (B,K,H,W) det and (B,K,H,W,T) tag used by
+    the grouping kernels."""
+    det = jnp.transpose(heat, (0, 3, 1, 2))
+    tag = jnp.transpose(tag, (0, 3, 1, 2, 4))
+    return det, tag

@@ -30,3 +30,32 @@ def add_reference_to_path():
     for p in (ref, ref_lib):
         if os.path.isdir(p) and p not in sys.path:
             sys.path.insert(0, p)
+    # stub out eval-API deps the reference imports at package level but the
+    # parity tests never execute (not installed in this image)
+    import types
+
+    for name in (
+        "pycocotools", "pycocotools.coco", "pycocotools.cocoeval",
+        "crowdposetools", "crowdposetools.coco", "crowdposetools.cocoeval",
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.COCO = object
+            mod.COCOeval = object
+            sys.modules[name] = mod
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvf = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms = tvt
+        tvt.functional = tvf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.transforms.functional"] = tvf
+    if "json_tricks" not in sys.modules:
+        import json as _json
+
+        jt = types.ModuleType("json_tricks")
+        jt.dump = _json.dump
+        jt.load = _json.load
+        sys.modules["json_tricks"] = jt

