@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""End-to-end serving throughput benchmark (real TPU).
+
+Flagship config: LitePose-Auto-S (5.0 GMAC searched arch) at 448x448,
+bf16 compute, full on-device decode (NMS + top-k + AE grouping + adjust +
+refine) fused into the same XLA program as the forward pass — the pipeline a
+production deployment would run per batch.  Flip-test off (serving mode).
+
+Prints ONE json line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / 5000.0}
+(5000 img/s/chip is the BASELINE.json north-star target.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from litepose_tpu.arch.zoo import get_arch
+    from litepose_tpu.core.inference import InferenceFlags, make_infer_fn, to_decode_layout
+    from litepose_tpu.data.flip import flip_index_for
+    from litepose_tpu.models.litepose import ModelSpec, apply_litepose, init_litepose
+    from litepose_tpu.ops.group import StaticGroupCfg, parse_single
+    from litepose_tpu.ops.group_ref import GroupParams
+
+    arch = get_arch("auto-S")  # 448x448, 5.0 GMACs
+    spec = ModelSpec(num_joints=14)
+    params, state = init_litepose(jax.random.PRNGKey(0), spec, arch)
+
+    def apply_fn(p, s, x):
+        outs, _ = apply_litepose(p, s, x, spec, arch, train=False)
+        return outs
+
+    flags = InferenceFlags(
+        num_joints=14,
+        with_heatmaps_loss=(True, True),
+        with_ae_loss=(True, False),
+        test_with_heatmaps=(True, True),
+        test_with_ae=(True, False),
+        flip_test=False,
+        flip_index=tuple(flip_index_for("crowd_pose_kpt")),
+    )
+    infer = make_infer_fn(apply_fn, flags)
+    gcfg = StaticGroupCfg.from_params(
+        GroupParams(num_joints=14, detection_threshold=0.1, nms_kernel=5, nms_padding=2)
+    )
+
+    @jax.jit
+    def serve(params, state, images_u8):
+        heat, tag = infer(params, state, images_u8)
+        det, tagt = to_decode_layout(heat, tag)
+        return jax.vmap(lambda d, t: parse_single(d, t, gcfg, True, True))(det, tagt)
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    best_bs = 0
+    for bs in (32, 64, 128):
+        try:
+            images = rng.integers(0, 255, (bs, arch.img_size, arch.img_size, 3)).astype(np.uint8)
+            images = jax.device_put(images)
+            jax.block_until_ready(serve(params, state, images))  # compile
+            # timed runs
+            n_iter = 5
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = serve(params, state, images)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / n_iter
+            ips = bs / dt
+            print(f"# batch={bs}: {ips:.1f} img/s ({dt * 1e3:.1f} ms/batch)", file=sys.stderr)
+            if ips > best:
+                best, best_bs = ips, bs
+        except Exception as e:  # OOM at large batch etc.
+            print(f"# batch={bs} failed: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip",
+                "value": round(best, 1),
+                "unit": "img/s",
+                "vs_baseline": round(best / 5000.0, 4),
+                "detail": f"LitePose-Auto-S@448 bf16 fwd+decode fused, batch={best_bs}",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Model zoo registry.
+
+The reference dispatches by ``eval('models.'+cfg.MODEL.NAME+'.get_pose_net')``
+(``/root/reference/dist_train.py:199``); here models register
+(init_fn, apply_fn) factories under the same names so experiment YAMLs keep
+working, without eval().
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+from .litepose import ModelSpec, apply_litepose, init_litepose
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_model(name: str, cfg, arch=None):
+    """Returns (init_fn(key) -> (params, state),
+    apply_fn(params, state, x, train=False) -> (outputs, new_state))."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](cfg, arch)
+
+
+@register("pose_mobilenet")
+def _litepose(cfg, arch):
+    spec = ModelSpec.from_config(cfg)
+
+    def init_fn(key):
+        return init_litepose(key, spec, arch, with_skips=True)
+
+    def apply_fn(params, state, x, train=False, policy=None):
+        kw = {} if policy is None else {"policy": policy}
+        return apply_litepose(params, state, x, spec, arch, train=train, with_skips=True, **kw)
+
+    return init_fn, apply_fn
+
+
+@register("pose_simplenet")
+def _litepose_noskip(cfg, arch):
+    """LitePose without raw/skip fusion branches — the architecture ablation
+    (``/root/reference/lib/models/pose_simplenet.py``)."""
+    spec = ModelSpec.from_config(cfg)
+
+    def init_fn(key):
+        return init_litepose(key, spec, arch, with_skips=False)
+
+    def apply_fn(params, state, x, train=False, policy=None):
+        kw = {} if policy is None else {"policy": policy}
+        return apply_litepose(params, state, x, spec, arch, train=train, with_skips=False, **kw)
+
+    return init_fn, apply_fn
+
+
+def available() -> Tuple[str, ...]:
+    return tuple(sorted(_REGISTRY))

@@ -105,7 +105,6 @@ def conv(
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=policy.precision,
-        preferred_element_type=jnp.float32,
     )
     return y
 
@@ -138,7 +137,6 @@ def deconv(
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=policy.precision,
-        preferred_element_type=jnp.float32,
     )
     return y
 

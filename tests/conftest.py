@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin's sitecustomize imports jax at interpreter start,
+# freezing jax_platforms before this file runs — override via the config
+# API as well (safe: no backend is initialized yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Evaluation CLI (the reference ``valid.py`` flow, decode fused on device).
+
+  python tools/valid.py --cfg configs/crowd_pose/mobile.yaml \
+      --superconfig mobile_configs/search-S.json \
+      TEST.MODEL_FILE path/to/ckpt.pth.tar
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a pose model on TPU")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--superconfig", default=None)
+    p.add_argument("--ann-file", default=None)
+    p.add_argument("--image-dir", default=None)
+    p.add_argument("--max-images", type=int, default=0, help="0 = all")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def build_engine(cfg, arch, params, state):
+    from litepose_tpu.core.engine import EngineConfig, PoseEngine
+    from litepose_tpu.core.inference import InferenceFlags
+    from litepose_tpu.data.flip import flip_index_for
+    from litepose_tpu.models import get_model
+    from litepose_tpu.ops.group_ref import GroupParams
+
+    _, apply_fn = get_model(
+        "pose_mobilenet" if "super" in cfg.MODEL.NAME else cfg.MODEL.NAME, cfg, arch
+    )
+
+    def eval_apply(p, s, x):
+        outs, _ = apply_fn(p, s, x, train=False)
+        return outs
+
+    flags = InferenceFlags.from_config(
+        cfg, flip_index_for(cfg.DATASET.DATASET, cfg.DATASET.WITH_CENTER)
+    )
+    group = GroupParams.from_config(cfg)
+    engine_cfg = EngineConfig(
+        input_size=cfg.DATASET.INPUT_SIZE,
+        scale_factors=tuple(cfg.TEST.SCALE_FACTOR),
+        with_adjust=cfg.TEST.ADJUST,
+        with_refine=cfg.TEST.REFINE,
+        project2image=cfg.TEST.PROJECT2IMAGE,
+    )
+    return PoseEngine(eval_apply, params, state, flags, group, engine_cfg)
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from litepose_tpu.arch import ArchManager, load_arch
+    from litepose_tpu.config import check_config, default_config, update_config
+    from litepose_tpu.data.dataset import PoseDataset
+    from litepose_tpu.models import get_model
+    from litepose_tpu.models.litepose import ModelSpec
+    from litepose_tpu.utils.logging import create_run_dirs, print_name_value, setup_logger
+
+    cfg = default_config()
+    update_config(cfg, args.cfg, args.opts)
+    check_config(cfg)
+
+    out_dir, _ = create_run_dirs(cfg, args.cfg, phase="valid")
+    logger = setup_logger(out_dir, phase="valid")
+
+    if args.superconfig:
+        arch = load_arch(args.superconfig)
+        # arch JSON overrides resolution (reference valid.py:104-111)
+        cfg.defrost()
+        cfg.DATASET.INPUT_SIZE = arch.img_size
+        cfg.DATASET.OUTPUT_SIZE = [arch.img_size // 4, arch.img_size // 2]
+        cfg.freeze()
+    else:
+        arch = ArchManager(
+            deconv_setting=cfg.MODEL.EXTRA.NUM_DECONV_FILTERS
+        ).fixed_sample(reso=cfg.DATASET.INPUT_SIZE, ratio=1.0)
+
+    model_name = "pose_mobilenet" if "super" in cfg.MODEL.NAME else cfg.MODEL.NAME
+    init_fn, _ = get_model(model_name, cfg, arch)
+    params, state = init_fn(jax.random.PRNGKey(0))
+
+    model_file = cfg.TEST.MODEL_FILE
+    if model_file:
+        if model_file.endswith((".pth", ".tar")):
+            from litepose_tpu.models.torch_convert import (
+                litepose_from_torch,
+                load_torch_checkpoint,
+            )
+
+            spec = ModelSpec.from_config(cfg)
+            params, state = litepose_from_torch(
+                load_torch_checkpoint(model_file), spec, arch
+            )
+        else:
+            from litepose_tpu.train.checkpoint import load_params
+
+            params, state = load_params(model_file, params, state)
+        logger.info(f"loaded weights from {model_file}")
+
+    engine = build_engine(cfg, arch, params, state)
+
+    style = "coco" if "coco" in cfg.DATASET.DATASET else "crowdpose"
+    split = cfg.DATASET.TEST
+    root = cfg.DATASET.ROOT
+    if style == "crowdpose":
+        ann = args.ann_file or os.path.join(root, "json", f"crowdpose_{split}.json")
+        img_dir = args.image_dir or os.path.join(root, "images")
+    else:
+        ann = args.ann_file or os.path.join(root, "annotations", f"person_keypoints_{split}.json")
+        img_dir = args.image_dir or os.path.join(root, "images", split)
+    ds = PoseDataset(ann, img_dir, cfg.DATASET.NUM_JOINTS, style=style,
+                     with_center=cfg.DATASET.WITH_CENTER, filter_for_train=False)
+
+    all_preds, all_scores = [], []
+    n = len(ds) if args.max_images == 0 else min(args.max_images, len(ds))
+    t0 = time.time()
+    for i in range(n):
+        image, _, _ = ds.load_raw(i)
+        people, scores = engine.process(image)
+        all_preds.append(people)
+        all_scores.append(scores)
+        if i % cfg.PRINT_FREQ == 0:
+            logger.info(f"eval {i}/{n} ({(i + 1) / (time.time() - t0):.2f} img/s)")
+    ds.ids = ds.ids[:n]
+    stats = ds.evaluate(all_preds, all_scores, output_dir=out_dir)
+    print_name_value(logger, stats, cfg.MODEL.NAME)
+    return stats
+
+
+if __name__ == "__main__":
+    main()
