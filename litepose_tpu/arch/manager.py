@@ -21,7 +21,14 @@ import numpy as np
 from .schema import ArchConfig, StageConfig, make_divisible
 
 # (channel, num_blocks, stride) per backbone stage — the search space.
-DEFAULT_STAGE_SETTING = ((32, 4, 2), (64, 6, 2), (96, 8, 2), (160, 8, 1))
+#
+# NOTE: the reference repo is internally inconsistent here: its
+# ``arch_manager.py:28-34`` table says depths (4, 6, 8, 8), but its supernet
+# hardcodes (6, 8, 10, 10) (``pose_supermobilenet.py:27-33``) and every
+# published searched arch (mobile_configs/*.json) has depths (6, 8, 10, 10).
+# We use the supernet-consistent depths so sampled archs are hostable by the
+# supernet and match the published search space.
+DEFAULT_STAGE_SETTING = ((32, 6, 2), (64, 8, 2), (96, 10, 2), (160, 10, 1))
 DEFAULT_DECONV_SETTING = (64, 48, 32)
 DEFAULT_INPUT_CHANNEL = 24
 WIDTH_MULTS = (1.0, 0.75, 0.5, 0.25)

@@ -61,5 +61,33 @@ def _litepose_noskip(cfg, arch):
     return init_fn, apply_fn
 
 
+@register("pose_supermobilenet")
+def _super_litepose(cfg, arch):
+    """One-shot NAS supernet via channel masking at max width
+    (``litepose_tpu.models.super_litepose``)."""
+    from ..arch.manager import ArchManager
+    from .super_litepose import (
+        SuperDims,
+        apply_super_litepose,
+        arch_to_mask_desc,
+        init_super_litepose,
+    )
+
+    spec = ModelSpec.from_config(cfg)
+    manager = ArchManager(deconv_setting=cfg.MODEL.EXTRA.NUM_DECONV_FILTERS)
+    dims = SuperDims.from_manager(manager)
+
+    def init_fn(key):
+        return init_super_litepose(key, spec, dims)
+
+    def apply_fn(params, state, x, arch=None, train=False, policy=None):
+        if arch is None:
+            arch = arch_to_mask_desc(manager.max_arch(), manager)
+        kw = {} if policy is None else {"policy": policy}
+        return apply_super_litepose(params, state, x, arch, spec, dims, train=train, **kw)
+
+    return init_fn, apply_fn
+
+
 def available() -> Tuple[str, ...]:
     return tuple(sorted(_REGISTRY))

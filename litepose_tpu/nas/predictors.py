@@ -1,0 +1,132 @@
+"""Efficiency and accuracy predictors for the evolutionary search.
+
+EfficiencyPredictor: pure-math MAC count over the arch descriptor — the
+reference instantiates the candidate as a real torch model and runs ptflops
+(``/root/reference/arch_search/eff_pred.py:13-19``); ours is instant.
+
+AccuracyPredictor: extract the candidate from the supernet, recalibrate its
+BatchNorm on a calibration split, and measure real mAP on a search split —
+the semantics of ``/root/reference/arch_search/acc_pred.py`` +
+``calibrate_test.py``, with the eval pipeline fused on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..arch.macs import gmacs
+from ..arch.schema import ArchConfig
+from ..core.engine import EngineConfig, PoseEngine
+from ..core.inference import InferenceFlags, normalize_images
+from ..data.flip import flip_index_for
+from ..models.litepose import ModelSpec, apply_litepose
+from ..models.super_litepose import SuperDims, extract_subnet
+from ..ops.group_ref import GroupParams
+from .calibrate import calibrate_bn
+
+
+class EfficiencyPredictor:
+    """GMACs of a candidate (at its own img_size)."""
+
+    def __init__(self, num_joints: int = 14):
+        self.num_joints = num_joints
+
+    def __call__(self, arch: ArchConfig) -> float:
+        return gmacs(arch, self.num_joints)
+
+
+class AccuracyPredictor:
+    """Real-mAP accuracy of a candidate extracted from the supernet."""
+
+    def __init__(
+        self,
+        super_params,
+        super_state,
+        dims: SuperDims,
+        spec: ModelSpec,
+        calib_dataset,  # PoseDataset (calibration split)
+        search_dataset,  # PoseDataset (search split)
+        cfg,
+        n_calib_batches: int = 10,
+        calib_batch_size: int = 16,
+        max_eval_images: int = 0,
+        cache: Optional[dict] = None,
+    ):
+        self.super_params = super_params
+        self.super_state = super_state
+        self.dims = dims
+        self.spec = spec
+        self.calib = calib_dataset
+        self.search = search_dataset
+        self.cfg = cfg
+        self.n_calib_batches = n_calib_batches
+        self.calib_batch_size = calib_batch_size
+        self.max_eval_images = max_eval_images
+        self.cache = cache if cache is not None else {}
+
+    def _calib_batches(self, img_size: int):
+        """Center-resized square calibration batches (uint8)."""
+        import cv2
+
+        n = min(len(self.calib), self.n_calib_batches * self.calib_batch_size)
+        batch = []
+        for i in range(n):
+            img, _, _ = self.calib.load_raw(i)
+            batch.append(cv2.resize(img, (img_size, img_size)))
+            if len(batch) == self.calib_batch_size:
+                yield np.stack(batch)
+                batch = []
+
+    def __call__(self, arch: ArchConfig) -> float:
+        key = str(sorted(arch.to_dict().items()))
+        if key in self.cache:
+            return self.cache[key]
+        params, state = extract_subnet(
+            self.super_params, self.super_state, arch, self.dims, self.spec
+        )
+
+        def train_apply(p, s, images_u8):
+            x = normalize_images(images_u8)
+            return apply_litepose(p, s, x, self.spec, arch, train=True)
+
+        state = calibrate_bn(
+            jax.jit(train_apply), params, state, self._calib_batches(arch.img_size)
+        )
+
+        def eval_apply(p, s, x):
+            outs, _ = apply_litepose(p, s, x, self.spec, arch, train=False)
+            return outs
+
+        cfg = self.cfg
+        flags = InferenceFlags.from_config(
+            cfg, flip_index_for(cfg.DATASET.DATASET, cfg.DATASET.WITH_CENTER)
+        )
+        engine = PoseEngine(
+            eval_apply, params, state, flags, GroupParams.from_config(cfg),
+            EngineConfig(
+                input_size=arch.img_size,
+                scale_factors=tuple(cfg.TEST.SCALE_FACTOR),
+                project2image=cfg.TEST.PROJECT2IMAGE,
+            ),
+        )
+        n = len(self.search) if not self.max_eval_images else min(
+            self.max_eval_images, len(self.search)
+        )
+        preds, scores = [], []
+        for i in range(n):
+            img, _, _ = self.search.load_raw(i)
+            people, sc = engine.process(img)
+            preds.append(people)
+            scores.append(sc)
+        ids_backup = self.search.ids
+        self.search.ids = ids_backup[:n]
+        try:
+            stats = self.search.evaluate(preds, scores)
+        finally:
+            self.search.ids = ids_backup
+        acc = stats["AP"]
+        self.cache[key] = acc
+        return acc

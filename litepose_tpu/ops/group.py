@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .group_ref import GroupParams
-from .hungarian import hungarian
+from .hungarian import hungarian_prefix
 from .nms import top_k_peaks
 
 # The reference pads unmatched columns with 1e10 in float64
@@ -114,9 +114,14 @@ def match_by_tag(
         # (munkres zero-pad semantics).
         cost = jnp.where(col_valid[None, :], base, PAD_COST)
         cost = jnp.where(mask[:, None], cost, 0.0)
-        assign = hungarian(cost)  # (M,) row -> col
+        # val_k is sorted descending, so masked rows form a prefix: assign
+        # only those (huge sequential-iteration saving; see hungarian_prefix).
+        n_valid = jnp.sum(mask.astype(jnp.int32))
+        # skip the solve entirely on steps that don't match
+        assign = hungarian_prefix(cost, jnp.where(do_match, n_valid, 0))
 
-        matched_diff = jnp.take_along_axis(diff, assign[:, None], axis=1)[:, 0]
+        safe_assign = jnp.minimum(assign, cfg.max_people - 1)
+        matched_diff = jnp.take_along_axis(diff, safe_assign[:, None], axis=1)[:, 0]
         join = (
             do_match
             & mask

@@ -77,20 +77,24 @@ class StepFns:
         self.teacher_size = teacher_size
         self._cache: Dict[Any, Callable] = {}
 
-    def get(self, img_size: Optional[int] = None, extra_static: Any = None) -> Callable:
-        """Compiled step for a given elastic input size (None = native)."""
-        key = (img_size, extra_static)
+    def get(self, img_size: Optional[int] = None, with_extra: bool = False) -> Callable:
+        """Compiled step for a given elastic input size (None = native).
+
+        with_extra: the step takes a third traced argument (e.g. the
+        supernet's sampled-arch mask vector) — ONE compiled graph covers all
+        values."""
+        key = (img_size, with_extra)
         if key not in self._cache:
-            self._cache[key] = self._build(img_size, extra_static)
+            self._cache[key] = self._build(img_size, with_extra)
         return self._cache[key]
 
-    def _build(self, img_size: Optional[int], extra_static: Any):
+    def _build(self, img_size: Optional[int], with_extra: bool):
         loss_cfg = self.loss_cfg
         apply_fn = self.apply_fn
         tx = self.tx
         teacher_fn = self.teacher_fn
 
-        def step(ts: TrainState, batch):
+        def step(ts: TrainState, batch, extra=None):
             images = normalize_images(batch["images"])
             heatmaps = list(batch["heatmaps"])
             masks = list(batch["masks"])
@@ -125,9 +129,9 @@ class StepFns:
                     t_heatmaps.append(jax.lax.stop_gradient(t_hm))
 
             def loss_fn(params):
-                if extra_static is not None:
+                if with_extra:
                     outs, new_mstate = apply_fn(
-                        params, ts.model_state, images, extra_static
+                        params, ts.model_state, images, extra
                     )
                 else:
                     outs, new_mstate = apply_fn(params, ts.model_state, images)
@@ -206,8 +210,11 @@ def train_epoch(
         if elastic_sizes is not None:
             img_size = int(rng.choice(np.asarray(elastic_sizes)))
         extra = arch_sampler(rng) if arch_sampler is not None else None
-        fn = step_fns.get(img_size, extra)
-        ts, metrics = fn(ts, batch)
+        fn = step_fns.get(img_size, extra is not None)
+        if extra is not None:
+            ts, metrics = fn(ts, batch, extra)
+        else:
+            ts, metrics = fn(ts, batch)
         if i % print_freq == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             for k, v in metrics.items():

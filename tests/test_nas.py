@@ -1,0 +1,116 @@
+"""NAS stack tests: evolution, efficiency predictor, BN calibration, fold."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from litepose_tpu.arch.manager import ArchManager
+from litepose_tpu.arch.zoo import get_arch
+from litepose_tpu.nas.calibrate import calibrate_bn
+from litepose_tpu.nas.evolution import EvolutionFinder
+from litepose_tpu.nas.predictors import EfficiencyPredictor
+
+
+def test_efficiency_predictor_is_pure_math():
+    eff = EfficiencyPredictor(num_joints=14)
+    assert abs(eff(get_arch("search-S")) - 5.0) < 0.15
+    assert abs(eff(get_arch("search-XS")) - 1.2) < 0.1
+
+
+def test_evolution_respects_constraint_and_improves():
+    manager = ArchManager(seed=0)
+    eff = EfficiencyPredictor(num_joints=14)
+
+    # synthetic accuracy: favors wider + higher-res archs (monotone in MACs)
+    def acc(arch):
+        g = eff(arch)
+        return g / (1.0 + g)
+
+    finder = EvolutionFinder(
+        eff, acc, manager, population_size=12, max_time_budget=6, seed=0
+    )
+    best_acc, best_arch, history = finder.run_evolution_search(constraint=6.0)
+    assert eff(best_arch) <= 6.0
+    assert history == sorted(history)  # monotone best-so-far
+    # with a monotone objective the search should push close to the budget
+    assert eff(best_arch) > 3.0
+
+
+def test_evolution_mutation_stays_in_space():
+    manager = ArchManager(seed=1)
+    eff = EfficiencyPredictor(num_joints=14)
+    finder = EvolutionFinder(eff, lambda a: 0.0, manager, seed=1)
+    base, _ = finder.random_valid_sample(8.0)
+    for _ in range(5):
+        child, g = finder.mutate_sample(base, 8.0)
+        assert g <= 8.0
+        assert child.img_size in manager.img_sizes
+        for st, (c, n, s) in zip(child.backbone_setting, manager.stage_setting):
+            assert st.channel in manager.channel_choices(c)
+            assert st.num_blocks == n
+
+
+def test_calibrate_bn_average_recovers_stats():
+    """Calibration on constant-statistics data recovers those statistics."""
+    from litepose_tpu.models.layers import batch_norm, bn_init
+
+    p, s = bn_init(4)
+    rng = np.random.default_rng(0)
+    true_mean = np.array([1.0, -2.0, 0.5, 3.0], np.float32)
+    true_std = np.array([2.0, 0.5, 1.0, 1.5], np.float32)
+
+    def apply_train(params, state, x):
+        return batch_norm(p, state, x, train=True)
+
+    batches = [
+        (rng.standard_normal((8, 6, 6, 4)).astype(np.float32) * true_std + true_mean)
+        for _ in range(20)
+    ]
+    state = calibrate_bn(apply_train, p, s, batches, mode="average")
+    np.testing.assert_allclose(np.asarray(state["mean"]), true_mean, atol=0.15)
+    np.testing.assert_allclose(
+        np.asarray(state["var"]), true_std**2, rtol=0.15
+    )
+
+
+def test_fold_bn_preserves_outputs():
+    from litepose_tpu.models.fold_bn import fold_litepose_bn
+    from litepose_tpu.models.layers import Policy
+    from litepose_tpu.models.litepose import ModelSpec, apply_litepose, init_litepose
+
+    arch = ArchManager().fixed_sample(reso=64, ratio=0.25)
+    spec = ModelSpec(num_joints=14)
+    params, state = init_litepose(jax.random.PRNGKey(0), spec, arch)
+    # non-trivial BN stats
+    rng = np.random.default_rng(0)
+    state = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x) + rng.uniform(0.05, 0.3, np.shape(x)).astype(np.float32)),
+        state,
+    )
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    outs_a, _ = apply_litepose(params, state, x, spec, arch, policy=Policy.exact())
+    fp, fs = fold_litepose_bn(params, state)
+    outs_b, _ = apply_litepose(fp, fs, x, spec, arch, policy=Policy.exact())
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+    # fold really removed the normalization (identity stats)
+    assert float(jnp.abs(fs["first"]["bn2"]["mean"]).max()) == 0.0
+
+
+def test_gen_arch_tool(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "manual-S.json"
+    r = subprocess.run(
+        [sys.executable, "tools/gen_arch.py", "--reso", "256", "--ratio", "0.5",
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=".",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    d = json.load(open(out))
+    assert d["img_size"] == 256 and d["input_channel"] == 16
