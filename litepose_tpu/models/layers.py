@@ -153,19 +153,24 @@ def batch_norm(
     the data mesh axis, ``jnp.mean`` is a global mean — i.e. SyncBN
     (the reference needs ``nn.SyncBatchNorm``, ``/root/reference/dist_train.py:259``)
     comes for free."""
+    if not train:
+        # inference: a per-channel affine; fold the constants in fp32 and
+        # apply in the activation dtype (bf16) — avoids materializing fp32
+        # activations between convs (~15% forward win at bf16)
+        inv = lax.rsqrt(s["var"] + eps) * p["scale"]
+        bias = p["bias"] - s["mean"] * inv
+        y = x * inv.astype(x.dtype) + bias.astype(x.dtype)
+        return y, s
+
     x32 = x.astype(jnp.float32)
-    if train:
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.var(x32, axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * (n / max(n - 1, 1))
-        new_state = {
-            "mean": (1 - momentum) * s["mean"] + momentum * mean,
-            "var": (1 - momentum) * s["var"] + momentum * unbiased,
-        }
-    else:
-        mean, var = s["mean"], s["var"]
-        new_state = s
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.var(x32, axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = var * (n / max(n - 1, 1))
+    new_state = {
+        "mean": (1 - momentum) * s["mean"] + momentum * mean,
+        "var": (1 - momentum) * s["var"] + momentum * unbiased,
+    }
     inv = lax.rsqrt(var + eps) * p["scale"]
     y = (x32 - mean) * inv + p["bias"]
     return y.astype(x.dtype) if x.dtype != jnp.float32 else y, new_state

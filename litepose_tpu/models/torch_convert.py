@@ -143,6 +143,155 @@ def litepose_from_torch(
     return params, state
 
 
+def hrnet_from_torch(sd: Mapping[str, Any], spec) -> Tuple[dict, dict]:
+    """Build (params, state) for ``higher_hrnet`` from a reference
+    PoseHigherResolutionNet state_dict
+    (``/root/reference/lib/models/pose_higher_hrnet.py``)."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    state: dict = {}
+
+    def cb(conv_key, bn_key):
+        p_bn, s_bn = _bn(sd, bn_key)
+        return {"conv": {"w": conv_w(sd[conv_key + ".weight"])}, "bn": p_bn}, {"bn": s_bn}
+
+    p1, s1 = cb("conv1", "bn1")
+    p2, s2 = cb("conv2", "bn2")
+    params["stem"] = {"c1": p1, "c2": p2}
+    state["stem"] = {"c1": s1, "c2": s2}
+
+    def res_block(prefix, kind):
+        convs = ("conv1", "conv2") if kind == "basic" else ("conv1", "conv2", "conv3")
+        bp, bs = {}, {}
+        for idx, cname in enumerate(convs, start=1):
+            pp, ss = cb(f"{prefix}.{cname}", f"{prefix}.bn{idx}")
+            bp[f"c{idx}"] = pp
+            bs[f"c{idx}"] = ss
+        if f"{prefix}.downsample.0.weight" in sd:
+            pp, ss = cb(f"{prefix}.downsample.0", f"{prefix}.downsample.1")
+            bp["down"] = pp
+            bs["down"] = ss
+        return bp, bs
+
+    l1p, l1s = [], []
+    for k in range(4):
+        bp, bs = res_block(f"layer1.{k}", "bottleneck")
+        l1p.append(bp)
+        l1s.append(bs)
+    params["layer1"] = l1p
+    state["layer1"] = l1s
+
+    stage_specs = {"2": spec.stage2, "3": spec.stage3, "4": spec.stage4}
+    n_pre = 1
+    for name, st in stage_specs.items():
+        # our transition{N} feeds stage N; the reference names it
+        # transition{N-1} (pose_higher_hrnet.py:273-300)
+        ref_t = int(name) - 1
+        t_p, t_s = [], []
+        for i in range(st.num_branches):
+            base = f"transition{ref_t}.{i}"
+            if f"{base}.0.weight" in sd and f"{base}.0.0.weight" not in sd:
+                pp, ss = cb(f"{base}.0", f"{base}.1")
+                t_p.append({"cbr": pp})
+                t_s.append({"cbr": ss})
+            elif f"{base}.0.0.weight" in sd:
+                chain_p, chain_s = [], []
+                j = 0
+                while f"{base}.{j}.0.weight" in sd:
+                    pp, ss = cb(f"{base}.{j}.0", f"{base}.{j}.1")
+                    chain_p.append(pp)
+                    chain_s.append(ss)
+                    j += 1
+                t_p.append({"down": chain_p})
+                t_s.append({"down": chain_s})
+            else:
+                t_p.append(None)
+                t_s.append(None)
+        params[f"transition{name}"] = t_p
+        state[f"transition{name}"] = t_s
+
+        mods_p, mods_s = [], []
+        for m in range(st.num_modules):
+            mp: dict = {"branches": [], "fuse": []}
+            ms: dict = {"branches": [], "fuse": []}
+            for b in range(st.num_branches):
+                base = f"stage{name}.{m}.branches.{b}"
+                if f"{base}.0.weight" in sd:  # 0-block convbnrelu branch
+                    pp, ss = cb(f"{base}.0", f"{base}.1")
+                    mp["branches"].append({"cbr": pp})
+                    ms["branches"].append({"cbr": ss})
+                else:
+                    blocks_p, blocks_s = [], []
+                    kind = "bottleneck" if st.block == "BOTTLENECK" else "basic"
+                    for k in range(st.num_blocks[b]):
+                        bp, bs = res_block(f"{base}.{k}", kind)
+                        blocks_p.append(bp)
+                        blocks_s.append(bs)
+                    mp["branches"].append({"blocks": blocks_p})
+                    ms["branches"].append({"blocks": blocks_s})
+            fuse_prefix = f"stage{name}.{m}.fuse_layers."
+            n_rows = 1 + max(
+                (int(k[len(fuse_prefix):].split(".")[0]) for k in sd if k.startswith(fuse_prefix)),
+                default=-1,
+            )
+            for i in range(n_rows):
+                row_p, row_s = [], []
+                for j in range(st.num_branches):
+                    base = f"stage{name}.{m}.fuse_layers.{i}.{j}"
+                    if j == i:
+                        row_p.append(None)
+                        row_s.append(None)
+                    elif j > i:
+                        pp, ss = cb(f"{base}.0", f"{base}.1")
+                        row_p.append({"up": pp})
+                        row_s.append({"up": ss})
+                    else:
+                        chain_p, chain_s = [], []
+                        for k in range(i - j):
+                            pp, ss = cb(f"{base}.{k}.0", f"{base}.{k}.1")
+                            chain_p.append(pp)
+                            chain_s.append(ss)
+                        row_p.append({"down": chain_p})
+                        row_s.append({"down": chain_s})
+                mp["fuse"].append(row_p)
+                ms["fuse"].append(row_s)
+            mods_p.append(mp)
+            mods_s.append(ms)
+        params[f"stage{name}"] = mods_p
+        state[f"stage{name}"] = mods_s
+
+    finals = []
+    i = 0
+    while f"final_layers.{i}.weight" in sd:
+        finals.append(
+            {"w": conv_w(sd[f"final_layers.{i}.weight"]), "b": _np(sd[f"final_layers.{i}.bias"])}
+        )
+        i += 1
+    params["final"] = finals
+
+    dec_p, dec_s = [], []
+    i = 0
+    while f"deconv_layers.{i}.0.0.weight" in sd:
+        p_bn, s_bn = _bn(sd, f"deconv_layers.{i}.0.1")
+        dp = {"deconv": {"w": deconv_w(sd[f"deconv_layers.{i}.0.0.weight"])}, "bn": p_bn}
+        ds = {"bn": s_bn}
+        blocks_p, blocks_s = [], []
+        k = 1
+        while f"deconv_layers.{i}.{k}.0.conv1.weight" in sd:
+            bp, bs = res_block(f"deconv_layers.{i}.{k}.0", "basic")
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+            k += 1
+        dp["blocks"] = blocks_p
+        ds["blocks"] = blocks_s
+        dec_p.append(dp)
+        dec_s.append(ds)
+        i += 1
+    params["deconv"] = dec_p
+    state["deconv"] = dec_s
+    return params, state
+
+
 def load_torch_checkpoint(path: str):
     """Load a .pth[.tar] checkpoint file to a flat state_dict (CPU)."""
     import torch

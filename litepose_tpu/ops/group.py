@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .group_ref import GroupParams
-from .hungarian import hungarian_prefix
+from .hungarian import greedy_assign, hungarian_prefix
 from .nms import top_k_peaks
 
 # The reference pads unmatched columns with 1e10 in float64
@@ -49,9 +49,13 @@ class StaticGroupCfg(NamedTuple):
     ignore_too_much: bool
     nms_kernel: int
     nms_padding: int
+    # 'hungarian' = exact optimal assignment (eval parity);
+    # 'greedy' = fixed-iteration global-min matching (serving fast path:
+    # data-independent cost, no vmap lockstep stragglers)
+    assignment: str = "hungarian"
 
     @staticmethod
-    def from_params(p: GroupParams) -> "StaticGroupCfg":
+    def from_params(p: GroupParams, assignment: str = "hungarian") -> "StaticGroupCfg":
         return StaticGroupCfg(
             joint_order=tuple(p.joint_order),
             max_people=p.max_num_people,
@@ -62,6 +66,7 @@ class StaticGroupCfg(NamedTuple):
             ignore_too_much=p.ignore_too_much,
             nms_kernel=p.nms_kernel,
             nms_padding=p.nms_padding,
+            assignment=assignment,
         )
 
 
@@ -118,7 +123,11 @@ def match_by_tag(
         # only those (huge sequential-iteration saving; see hungarian_prefix).
         n_valid = jnp.sum(mask.astype(jnp.int32))
         # skip the solve entirely on steps that don't match
-        assign = hungarian_prefix(cost, jnp.where(do_match, n_valid, 0))
+        n_solve = jnp.where(do_match, n_valid, 0)
+        if cfg.assignment == "greedy":
+            assign = greedy_assign(cost, n_solve)
+        else:
+            assign = hungarian_prefix(cost, n_solve)
 
         safe_assign = jnp.minimum(assign, cfg.max_people - 1)
         matched_diff = jnp.take_along_axis(diff, safe_assign[:, None], axis=1)[:, 0]

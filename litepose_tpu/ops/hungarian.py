@@ -124,6 +124,43 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
     return hungarian_prefix(cost, cost.shape[0])
 
 
+def greedy_assign(cost: jnp.ndarray, n_rows) -> jnp.ndarray:
+    """Fixed-iteration greedy min-cost matching (serving fast path).
+
+    Repeatedly takes the globally cheapest available (row, col) pair.  Not
+    always the Hungarian optimum, but agrees on the vast majority of AE
+    grouping steps (costs are dominated by the quantized tag-distance term);
+    unlike the augmenting-path solver its cost is data-independent, so a
+    vmapped batch has no lockstep worst-case straggler.
+
+    Args:
+      cost: (n, n) float32; n_rows: rows to assign (prefix).
+
+    Returns (n,) int32 col per row; unassigned rows get n.
+    """
+    n = cost.shape[0]
+    big = jnp.float32(3e38)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    row_valid = row_ids < jnp.asarray(n_rows, jnp.int32)
+    c = jnp.where(row_valid[:, None], cost.astype(jnp.float32), big)
+
+    def body(_, carry):
+        c, assign = carry
+        flat = jnp.argmin(c)
+        r = (flat // n).astype(jnp.int32)
+        col = (flat % n).astype(jnp.int32)
+        ok = c[r, col] < big
+        assign = jnp.where(ok, assign.at[r].set(col), assign)
+        row_mask = (row_ids == r) & ok
+        col_mask = (row_ids == col) & ok
+        c = jnp.where(row_mask[:, None] | col_mask[None, :], big, c)
+        return c, assign
+
+    assign0 = jnp.full((n,), n, jnp.int32)
+    _, assign = lax.fori_loop(0, n, body, (c, assign0))
+    return assign
+
+
 def hungarian_np(cost):
     """Numpy oracle via scipy (square matrices)."""
     import numpy as np
