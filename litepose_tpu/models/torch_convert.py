@@ -292,6 +292,150 @@ def hrnet_from_torch(sd: Mapping[str, Any], spec) -> Tuple[dict, dict]:
     return params, state
 
 
+def efficient_hrnet_from_torch(sd: Mapping[str, Any], spec) -> Tuple[dict, dict]:
+    """Build (params, state) for ``efficient_hrnet`` from a reference
+    pose_efficient_hrnet state_dict."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    state: dict = {}
+
+    def cb(conv_key, bn_key, with_bias=False):
+        p_bn, s_bn = _bn(sd, bn_key)
+        conv = {"w": conv_w(sd[conv_key + ".weight"])}
+        if with_bias:
+            conv["b"] = _np(sd[conv_key + ".bias"])
+        return {"conv": conv, "bn": p_bn}, {"bn": s_bn}
+
+    plan = spec.backbone_plan()
+    feats_p, feats_s = [], []
+    for i, (cin, cout, expand, kernel, stride) in enumerate(plan):
+        if expand == 0:  # stem: Sequential(ZeroPad, Conv, BN, Swish)
+            fp, fs = cb(f"features.{i}.1", f"features.{i}.2")
+            feats_p.append(fp)
+            feats_s.append(fs)
+            continue
+        hidden = cin * expand
+        off = 0
+        fp: dict = {}
+        fs: dict = {}
+        if hidden != cin:
+            pp, ss = cb(f"features.{i}.conv.0.1", f"features.{i}.conv.0.2")
+            fp["expand"] = pp
+            fs["expand"] = ss
+            off = 1
+        pp, ss = cb(f"features.{i}.conv.{off}.1", f"features.{i}.conv.{off}.2")
+        fp["dw"] = pp
+        fs["dw"] = ss
+        se_base = f"features.{i}.conv.{off + 1}.se"
+        fp["se"] = {
+            "r": {"w": conv_w(sd[f"{se_base}.1.weight"]), "b": _np(sd[f"{se_base}.1.bias"])},
+            "e": {"w": conv_w(sd[f"{se_base}.3.weight"]), "b": _np(sd[f"{se_base}.3.bias"])},
+        }
+        p_bn, s_bn = _bn(sd, f"features.{i}.conv.{off + 3}")
+        fp["project"] = {"conv": {"w": conv_w(sd[f"features.{i}.conv.{off + 2}.weight"])}, "bn": p_bn}
+        fs["project"] = {"bn": s_bn}
+        feats_p.append(fp)
+        feats_s.append(fs)
+    params["features"] = feats_p
+    state["features"] = feats_s
+
+    for tname, n_branches in (("trans1", 2), ("trans2", 3), ("trans3", 4)):
+        b_p, b_s = [], []
+        for m in range(1, n_branches + 1):
+            pp, ss = cb(f"{tname}_branch{m}.0", f"{tname}_branch{m}.1", with_bias=True)
+            b_p.append(pp)
+            b_s.append(ss)
+        params[tname] = b_p
+        state[tname] = b_s
+
+    def res_block(prefix):
+        bp, bs = {}, {}
+        for idx in (1, 2):
+            pp, ss = cb(f"{prefix}.conv{idx}", f"{prefix}.bn{idx}")
+            bp[f"c{idx}"] = pp
+            bs[f"c{idx}"] = ss
+        if f"{prefix}.downsample.0.weight" in sd:
+            pp, ss = cb(f"{prefix}.downsample.0", f"{prefix}.downsample.1")
+            bp["down"] = pp
+            bs["down"] = ss
+        return bp, bs
+
+    for name, st in (("2", spec.stage2), ("3", spec.stage3), ("4", spec.stage4)):
+        mods_p, mods_s = [], []
+        for m in range(st.num_modules):
+            mp: dict = {"branches": [], "fuse": []}
+            ms: dict = {"branches": [], "fuse": []}
+            for b in range(st.num_branches):
+                blocks_p, blocks_s = [], []
+                for k in range(st.num_blocks[b]):
+                    bp, bs = res_block(f"stage{name}.{m}.branches.{b}.{k}")
+                    blocks_p.append(bp)
+                    blocks_s.append(bs)
+                mp["branches"].append({"blocks": blocks_p})
+                ms["branches"].append({"blocks": blocks_s})
+            fuse_prefix = f"stage{name}.{m}.fuse_layers."
+            n_rows = 1 + max(
+                (int(k[len(fuse_prefix):].split(".")[0]) for k in sd if k.startswith(fuse_prefix)),
+                default=-1,
+            )
+            for i in range(n_rows):
+                row_p, row_s = [], []
+                for j in range(st.num_branches):
+                    base = f"stage{name}.{m}.fuse_layers.{i}.{j}"
+                    if j == i:
+                        row_p.append(None)
+                        row_s.append(None)
+                    elif j > i:
+                        pp, ss = cb(f"{base}.0", f"{base}.1")
+                        row_p.append({"up": pp})
+                        row_s.append({"up": ss})
+                    else:
+                        chain_p, chain_s = [], []
+                        for k in range(i - j):
+                            pp, ss = cb(f"{base}.{k}.0", f"{base}.{k}.1")
+                            chain_p.append(pp)
+                            chain_s.append(ss)
+                        row_p.append({"down": chain_p})
+                        row_s.append({"down": chain_s})
+                mp["fuse"].append(row_p)
+                ms["fuse"].append(row_s)
+            mods_p.append(mp)
+            mods_s.append(ms)
+        params[f"stage{name}"] = mods_p
+        state[f"stage{name}"] = mods_s
+
+    finals = []
+    i = 0
+    while f"final_layers.{i}.weight" in sd:
+        finals.append(
+            {"w": conv_w(sd[f"final_layers.{i}.weight"]), "b": _np(sd[f"final_layers.{i}.bias"])}
+        )
+        i += 1
+    params["final"] = finals
+
+    dec_p, dec_s = [], []
+    i = 0
+    while f"deconv_layers.{i}.0.0.weight" in sd:
+        p_bn, s_bn = _bn(sd, f"deconv_layers.{i}.0.1")
+        dp = {"deconv": {"w": deconv_w(sd[f"deconv_layers.{i}.0.0.weight"])}, "bn": p_bn}
+        ds = {"bn": s_bn}
+        blocks_p, blocks_s = [], []
+        k = 1
+        while f"deconv_layers.{i}.{k}.0.conv1.weight" in sd:
+            bp, bs = res_block(f"deconv_layers.{i}.{k}.0")
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+            k += 1
+        dp["blocks"] = blocks_p
+        ds["blocks"] = blocks_s
+        dec_p.append(dp)
+        dec_s.append(ds)
+        i += 1
+    params["deconv"] = dec_p
+    state["deconv"] = dec_s
+    return params, state
+
+
 def load_torch_checkpoint(path: str):
     """Load a .pth[.tar] checkpoint file to a flat state_dict (CPU)."""
     import torch
