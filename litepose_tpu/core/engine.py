@@ -141,7 +141,11 @@ class PoseEngine:
             img = warp_image(image_rgb_u8, mat, size_resized)
             fn = self._fused_fn((img.shape[0], img.shape[1]), project_hw)
             people, scores, n = fn(self.params, self.state, img[None])
-            hm_hw = project_hw if project_hw is not None else None
+            # without projection the decode runs at the final stage
+            # resolution (input / 2)
+            hm_hw = project_hw if project_hw is not None else (
+                img.shape[0] // 2, img.shape[1] // 2
+            )
             return self._finalize(people, scores, n, center, scale, hm_hw)
 
         # multi-scale: accumulate heatmaps across scales, tags at scale 1

@@ -89,5 +89,49 @@ def _super_litepose(cfg, arch):
     return init_fn, apply_fn
 
 
+@register("pose_resnet")
+def _litepose_resnet(cfg, arch):
+    from .litepose_resnet import apply_litepose_resnet, init_litepose_resnet
+
+    spec = ModelSpec.from_config(cfg)
+    filters = tuple(cfg.MODEL.EXTRA.NUM_DECONV_FILTERS)
+    kernels = tuple(cfg.MODEL.EXTRA.NUM_DECONV_KERNELS)
+
+    def init_fn(key):
+        return init_litepose_resnet(key, spec, deconv_filters=filters, deconv_kernels=kernels)
+
+    def apply_fn(params, state, x, train=False, policy=None):
+        kw = {} if policy is None else {"policy": policy}
+        return apply_litepose_resnet(params, state, x, spec, deconv_kernels=kernels, train=train, **kw)
+
+    return init_fn, apply_fn
+
+
+@register("pose_superresnet")
+def _super_litepose_resnet(cfg, arch):
+    from .litepose_resnet import (
+        apply_super_litepose_resnet,
+        init_super_litepose_resnet,
+        resnet_arch_manager,
+    )
+    from .super_litepose import arch_to_mask_desc
+
+    spec = ModelSpec.from_config(cfg)
+    filters = tuple(cfg.MODEL.EXTRA.NUM_DECONV_FILTERS)
+    kernels = tuple(cfg.MODEL.EXTRA.NUM_DECONV_KERNELS)
+    manager = resnet_arch_manager(deconv_setting=filters)
+
+    def init_fn(key):
+        return init_super_litepose_resnet(key, spec, deconv_filters=filters, deconv_kernels=kernels)
+
+    def apply_fn(params, state, x, arch=None, train=False, policy=None):
+        if arch is None:
+            arch = arch_to_mask_desc(manager.max_arch(), manager)
+        kw = {} if policy is None else {"policy": policy}
+        return apply_super_litepose_resnet(params, state, x, arch, spec, train=train, **kw)
+
+    return init_fn, apply_fn
+
+
 def available() -> Tuple[str, ...]:
     return tuple(sorted(_REGISTRY))

@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--ann-file", default=None, help="override annotation JSON path")
     p.add_argument("--image-dir", default=None, help="override image directory")
     p.add_argument("--multi-host", action="store_true", help="call jax.distributed.initialize()")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first steps of each epoch")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
@@ -130,10 +132,14 @@ def main():
             outs, _ = apply_litepose(t_params, t_state, x, t_spec, t_arch, train=False)
             return outs
 
+    from litepose_tpu.models.layers import Policy
+
+    policy = Policy(compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE))
+
     def train_apply(p, s, x, arch_desc=None):
         if arch_desc is not None:
-            return apply_fn(p, s, x, train=True, arch=arch_desc)
-        return apply_fn(p, s, x, train=True)
+            return apply_fn(p, s, x, train=True, arch=arch_desc, policy=policy)
+        return apply_fn(p, s, x, train=True, policy=policy)
 
     sfns = StepFns(
         train_apply, loss_cfg, tx,
@@ -171,7 +177,11 @@ def main():
                 "joints": [jax.device_put(x, bspec) for x in b["joints"]],
             }
 
-    for epoch in range(int(ts.epoch), cfg.TRAIN.END_EPOCH):
+    start_epoch = int(ts.epoch)
+    for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
+        if args.profile_dir and epoch == start_epoch + 1:
+            # profile the second epoch (first is compile-dominated)
+            jax.profiler.start_trace(args.profile_dir)
         it = make_batch_iterator(
             pipe, batch_size, epoch, shuffle=cfg.TRAIN.SHUFFLE,
             process_index=jax.process_index(), process_count=jax.process_count(),
@@ -182,6 +192,9 @@ def main():
             arch_sampler=arch_sampler, seed=cfg.SEED, writer=writer,
         )
         ts = ts._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+        if args.profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {args.profile_dir}")
         if jax.process_index() == 0:
             save_checkpoint(out_dir, ts)
             logger.info(f"epoch {epoch} done: {metrics}")
