@@ -54,7 +54,7 @@ def main():
     infer = make_infer_fn(apply_fn, flags)
     gcfg = StaticGroupCfg.from_params(
         GroupParams(num_joints=14, detection_threshold=0.1, nms_kernel=5, nms_padding=2),
-        assignment="greedy",  # serving fast path; eval uses exact hungarian
+        assignment="greedy", topk_method="approx",  # serving fast path
     )
 
     @jax.jit

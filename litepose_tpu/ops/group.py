@@ -53,9 +53,12 @@ class StaticGroupCfg(NamedTuple):
     # 'greedy' = fixed-iteration global-min matching (serving fast path:
     # data-independent cost, no vmap lockstep stragglers)
     assignment: str = "hungarian"
+    # 'exact' = chunked exact top-k; 'approx' = lax.approx_max_k (serving)
+    topk_method: str = "exact"
 
     @staticmethod
-    def from_params(p: GroupParams, assignment: str = "hungarian") -> "StaticGroupCfg":
+    def from_params(p: GroupParams, assignment: str = "hungarian",
+                    topk_method: str = "exact") -> "StaticGroupCfg":
         return StaticGroupCfg(
             joint_order=tuple(p.joint_order),
             max_people=p.max_num_people,
@@ -67,6 +70,7 @@ class StaticGroupCfg(NamedTuple):
             nms_kernel=p.nms_kernel,
             nms_padding=p.nms_padding,
             assignment=assignment,
+            topk_method=topk_method,
         )
 
 
@@ -246,7 +250,8 @@ def parse_single(
     """Full decode for one image; returns (people (P,K,3+T), scores (P,),
     n_people)."""
     tag_k, loc_k, val_k = top_k_peaks(
-        det, tag, cfg.max_people, cfg.nms_kernel, cfg.nms_padding
+        det, tag, cfg.max_people, cfg.nms_kernel, cfg.nms_padding,
+        method=cfg.topk_method,
     )
     people, n_cl = match_by_tag(tag_k, loc_k, val_k, cfg)
     if with_adjust:
