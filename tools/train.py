@@ -31,6 +31,7 @@ def parse_args():
     p.add_argument("--ann-file", default=None, help="override annotation JSON path")
     p.add_argument("--image-dir", default=None, help="override image directory")
     p.add_argument("--multi-host", action="store_true", help="call jax.distributed.initialize()")
+    p.add_argument("--save-freq", type=int, default=1, help="checkpoint every N epochs")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps of each epoch")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -196,7 +197,8 @@ def main():
             jax.profiler.stop_trace()
             logger.info(f"profiler trace written to {args.profile_dir}")
         if jax.process_index() == 0:
-            save_checkpoint(out_dir, ts)
+            if (epoch + 1) % args.save_freq == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
+                save_checkpoint(out_dir, ts)
             logger.info(f"epoch {epoch} done: {metrics}")
 
     if jax.process_index() == 0:
