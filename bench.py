@@ -86,7 +86,7 @@ def main():
 
     best = 0.0
     best_bs = 0
-    for bs in (32, 64, 128):
+    for bs in (64, 128, 256):
         try:
             images = rng.integers(0, 255, (bs, arch.img_size, arch.img_size, 3)).astype(np.uint8)
             images = jax.device_put(images)

@@ -79,7 +79,17 @@ def top_k_peaks(
     """
     K, H, W = det.shape
     T = tag.shape[-1]
-    det_n = heatmap_nms(det, nms_kernel, nms_padding).reshape(K, H * W)
+    # the Pallas separable-NMS kernel is exact and ~20% faster on TPU, but
+    # only when padding matches the torch default (k//2)
+    use_pallas = (
+        jax.default_backend() == "tpu" and nms_padding == nms_kernel // 2
+    )
+    if use_pallas:
+        from .pallas_nms import heatmap_nms_pallas
+
+        det_n = heatmap_nms_pallas(det, nms_kernel).reshape(K, H * W)
+    else:
+        det_n = heatmap_nms(det, nms_kernel, nms_padding).reshape(K, H * W)
     if method == "approx":
         val_k, ind = lax.approx_max_k(det_n, max_people, recall_target=0.99)
     else:

@@ -55,3 +55,16 @@ def test_nms_keeps_only_local_maxima():
     assert out[0, 5, 5] == 1.0
     assert out[0, 5, 6] == 0.0
     assert out[0, 12, 12] == 0.6
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="pallas TPU kernel"
+)
+def test_pallas_nms_matches_xla_on_tpu():
+    from litepose_tpu.ops.pallas_nms import heatmap_nms_pallas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 14, 224, 224), dtype=np.float32))
+    a = np.asarray(heatmap_nms(x, 5, 2))
+    b = np.asarray(heatmap_nms_pallas(x, 5))
+    np.testing.assert_array_equal(a, b)
