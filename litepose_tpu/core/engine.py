@@ -42,6 +42,9 @@ class EngineConfig:
     with_adjust: bool = True
     with_refine: bool = True
     project2image: bool = True
+    # decode modes: exact for eval parity, fast for serving
+    assignment: str = "hungarian"  # or "greedy"
+    topk_method: str = "exact"  # or "approx"
 
 
 class PoseEngine:
@@ -61,7 +64,9 @@ class PoseEngine:
         self.params = params
         self.state = state
         self.flags = flags
-        self.group_cfg = StaticGroupCfg.from_params(group)
+        self.group_cfg = StaticGroupCfg.from_params(
+            group, assignment=config.assignment, topk_method=config.topk_method
+        )
         self.config = config
         self._fused: Dict[Tuple[int, int], Callable] = {}
         self._infer: Dict[Tuple[Tuple[int, int], Tuple[int, int], bool], Callable] = {}

@@ -202,12 +202,17 @@ def make_batch_iterator(
     process_count: int = 1,
     drop_last: bool = True,
     prefetch: int = 2,
+    num_workers: int = 4,
 ):
     """Host-sharded, prefetching batch iterator.
 
     Yields dicts of stacked numpy arrays: images (B,H,W,3) u8; per-scale
     heatmaps (B,K,R,R), masks (B,R,R), joints (B,P,K,2).
+    ``num_workers`` threads decode/augment items in parallel (cv2 releases
+    the GIL), replacing the reference's torch DataLoader worker processes.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     n = len(pipeline)
     order = np.arange(n)
     if shuffle:
@@ -217,10 +222,12 @@ def make_batch_iterator(
     if drop_last:
         order = order[: len(order) // batch_size * batch_size]
 
+    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+
     def produce(q: queue.Queue):
         batch = []
-        for idx in order:
-            batch.append(pipeline.get(int(idx), epoch))
+        for item in pool.map(lambda i: pipeline.get(int(i), epoch), order):
+            batch.append(item)
             if len(batch) == batch_size:
                 imgs = np.stack([b[0] for b in batch])
                 n_scales = len(batch[0][1])

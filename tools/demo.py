@@ -98,7 +98,8 @@ def main():
         engine = PoseEngine(
             apply_fn, params, state, flags, group,
             EngineConfig(input_size=args.input_size, scale_factors=(1.0,),
-                         with_adjust=False, with_refine=False, project2image=False),
+                         with_adjust=False, with_refine=False, project2image=False,
+                         assignment="greedy", topk_method="approx"),
         )
 
         def infer(img_sq):
