@@ -34,6 +34,7 @@ def default_config() -> ConfigNode:
     c.TPU = ConfigNode()
     c.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     c.TPU.PARAM_DTYPE = "float32"
+    c.TPU.REMAT = False  # jax.checkpoint the forward (memory for FLOPs)
     c.TPU.MESH = ConfigNode()
     c.TPU.MESH.DATA = -1  # -1 => all available devices on the data axis
 

@@ -67,7 +67,12 @@ class StepFns:
         base_output_sizes: Sequence[int],
         teacher_fn: Optional[Callable] = None,  # (x448) -> [teacher outs]
         teacher_size: int = 448,
+        remat: bool = False,
     ):
+        if remat:
+            # rematerialize activations in the backward pass — trades FLOPs
+            # for HBM (useful at 512^2 inputs / large per-chip batches)
+            apply_fn = jax.checkpoint(apply_fn)
         self.apply_fn = apply_fn
         self.loss_cfg = loss_cfg
         self.tx = tx

@@ -263,3 +263,17 @@ def test_train_pipeline_and_iterator(tmp_path):
     a = pipe.get(2)
     b = pipe.get(2)
     np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_scale_aware_heatmap_generator_matches_reference():
+    add_reference_to_path()
+    from dataset.target_generators import target_generators as ref_tg
+
+    from litepose_tpu.data.targets import ScaleAwareHeatmapGenerator
+
+    rng = np.random.default_rng(5)
+    ours = ScaleAwareHeatmapGenerator(64, 14)
+    theirs = ref_tg.ScaleAwareHeatmapGenerator(64, 14)
+    joints = _random_joints(rng, res=64, width=4)
+    joints[..., 3] = rng.uniform(1.0, 3.0, joints.shape[:2])
+    np.testing.assert_allclose(ours(joints), theirs(joints), atol=1e-6)

@@ -181,3 +181,20 @@ def test_device_parse_empty_image():
     people, scores, n = parse_batch(det, tag, cfg)
     assert int(n[0]) == 0
     assert np.all(np.asarray(people) == 0)
+
+
+def test_device_parse_17_joints_coco_order():
+    """COCO joint count exercises the non-trivial grouping order."""
+    from litepose_tpu.ops.group import StaticGroupCfg, parse_batch
+
+    p = GroupParams(num_joints=17, detection_threshold=0.1,
+                    nms_kernel=5, nms_padding=2)
+    assert p.joint_order[:4] == [0, 1, 2, 3]
+    assert 11 in p.joint_order and len(p.joint_order) == 17
+    det, tag = _synthetic_scene(11, K=17, n_people=3)
+    cfg = StaticGroupCfg.from_params(p)
+    people_np, scores_np = group_ref.parse_np(det, tag, p)
+    people_dev, scores_dev, n_dev = parse_batch(det[None], tag[None], cfg)
+    n = int(n_dev[0])
+    assert n == people_np.shape[0]
+    np.testing.assert_allclose(np.asarray(people_dev[0])[:n], people_np, atol=1e-3)

@@ -151,3 +151,22 @@ def test_distillation_step():
     ts2, metrics = fn(ts, batch)
     assert "distill" in metrics
     assert np.isfinite(float(metrics["distill"]))
+
+
+def test_remat_step_matches_plain():
+    sfns_a, ts_a, batch = _tiny_setup()
+    sfns_b, ts_b, _ = _tiny_setup()
+    sfns_b_apply = sfns_b.apply_fn
+    from litepose_tpu.train.trainer import StepFns
+    from litepose_tpu.train import optim as _optim
+    from litepose_tpu.core.losses import LossConfig
+
+    tx = sfns_b.tx
+    sfns_r = StepFns(sfns_b_apply, LossConfig(num_joints=14), tx,
+                     base_input_size=64, base_output_sizes=[16, 32], remat=True)
+    ts_a2, m_a = sfns_a.get()(ts_a, batch)
+    ts_r2, m_r = sfns_r.get()(ts_b, batch)
+    np.testing.assert_allclose(float(m_a["total"]), float(m_r["total"]), rtol=1e-5)
+    a = jax.tree.leaves(ts_a2.params)[0]
+    b = jax.tree.leaves(ts_r2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -147,6 +147,7 @@ def main():
         base_input_size=cfg.DATASET.INPUT_SIZE,
         base_output_sizes=list(cfg.DATASET.OUTPUT_SIZE),
         teacher_fn=teacher_fn,
+        remat=bool(cfg.TPU.get("REMAT", False)),
     )
 
     mesh = make_mesh()
