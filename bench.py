@@ -57,11 +57,29 @@ def main():
         assignment="greedy", topk_method="approx",  # serving fast path
     )
 
-    @jax.jit
-    def serve(params, state, images_u8):
-        heat, tag = infer(params, state, images_u8)
+    def serve_body(params, state, images):
+        heat, tag = infer(params, state, images)
         det, tagt = to_decode_layout(heat, tag)
         return jax.vmap(lambda d, t: parse_single(d, t, gcfg, False, False))(det, tagt)
+
+    # Timing methodology: the axon tunnel acks block_until_ready early and
+    # adds a fixed ~26 ms readback round-trip, so wall-clocking single calls
+    # is unreliable (see PERF_NOTES.md).  Measure K chained iterations
+    # inside one jit with a scalar readback and difference K=1 vs K.
+    from jax import lax as _lax
+    import jax.numpy as jnp
+
+    def make_runner(K):
+        def body(i, carry):
+            images, acc = carry
+            people, scores, n = serve_body(params, state,
+                                           (images + acc * 0).astype(jnp.uint8))
+            return images, scores.sum()
+        @jax.jit
+        def run(images):
+            _, acc = _lax.fori_loop(0, K, body, (images.astype(jnp.float32), jnp.float32(0)))
+            return acc
+        return run
 
     rng = np.random.default_rng(0)
 
@@ -86,18 +104,23 @@ def main():
 
     best = 0.0
     best_bs = 0
-    for bs in (64, 128, 256):
+    K = 4
+    for bs in (64, 128):
         try:
             images = rng.integers(0, 255, (bs, arch.img_size, arch.img_size, 3)).astype(np.uint8)
             images = jax.device_put(images)
-            jax.block_until_ready(serve(params, state, images))  # compile
-            # timed runs
-            n_iter = 5
+            run1, runK = make_runner(1), make_runner(K)
+            float(run1(images)); float(runK(images))  # compile
+            N = 3
             t0 = time.perf_counter()
-            for _ in range(n_iter):
-                out = serve(params, state, images)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / n_iter
+            for _ in range(N):
+                float(run1(images))
+            t1 = (time.perf_counter() - t0) / N
+            t0 = time.perf_counter()
+            for _ in range(N):
+                float(runK(images))
+            tK = (time.perf_counter() - t0) / N
+            dt = (tK - t1) / (K - 1)
             ips = bs / dt
             print(f"# batch={bs}: {ips:.1f} img/s ({dt * 1e3:.1f} ms/batch)", file=sys.stderr)
             if ips > best:
