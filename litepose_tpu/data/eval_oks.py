@@ -177,8 +177,11 @@ def _ap(acc: Dict[str, np.ndarray], thr: Optional[float] = None) -> float:
     return float(np.mean(valid)) if valid.size else -1.0
 
 
-def _ar(acc: Dict[str, np.ndarray]) -> float:
+def _ar(acc: Dict[str, np.ndarray], thr: Optional[float] = None) -> float:
     r = acc["recall"]
+    if thr is not None:
+        t = int(np.where(np.isclose(IOU_THRS, thr))[0][0])
+        r = r[t : t + 1]
     valid = r[r > -1]
     return float(np.mean(valid)) if valid.size else -1.0
 
@@ -231,6 +234,8 @@ class KeypointEvaluator:
         stats["AP .5"] = _ap(main, 0.5)
         stats["AP .75"] = _ap(main, 0.75)
         stats["AR"] = _ar(main)
+        stats["AR .5"] = _ar(main, 0.5)
+        stats["AR .75"] = _ar(main, 0.75)
 
         if self.style == "coco":
             med = _accumulate(eval_ids(img_ids, area_rng=(32**2, 96**2)))
