@@ -133,5 +133,41 @@ def _super_litepose_resnet(cfg, arch):
     return init_fn, apply_fn
 
 
+@register("pose_higher_hrnet")
+def _higher_hrnet(cfg, arch):
+    from .higher_hrnet import HRNetSpec, apply_higher_hrnet, init_higher_hrnet
+
+    spec = HRNetSpec.from_config(cfg)
+
+    def init_fn(key):
+        return init_higher_hrnet(key, spec)
+
+    def apply_fn(params, state, x, train=False, policy=None):
+        kw = {} if policy is None else {"policy": policy}
+        return apply_higher_hrnet(params, state, x, spec, train=train, **kw)
+
+    return init_fn, apply_fn
+
+
+@register("pose_efficient_hrnet")
+def _efficient_hrnet(cfg, arch):
+    from .efficient_hrnet import (
+        EffHRNetSpec,
+        apply_efficient_hrnet,
+        init_efficient_hrnet,
+    )
+
+    spec = EffHRNetSpec.from_config(cfg)
+
+    def init_fn(key):
+        return init_efficient_hrnet(key, spec)
+
+    def apply_fn(params, state, x, train=False, policy=None):
+        kw = {} if policy is None else {"policy": policy}
+        return apply_efficient_hrnet(params, state, x, spec, train=train, **kw)
+
+    return init_fn, apply_fn
+
+
 def available() -> Tuple[str, ...]:
     return tuple(sorted(_REGISTRY))

@@ -86,7 +86,11 @@ def main():
     init_fn, apply_fn = get_model(cfg.MODEL.NAME, cfg, arch)
     params, state = init_fn(jax.random.PRNGKey(cfg.SEED))
 
-    if cfg.MODEL.INIT_WEIGHTS and cfg.MODEL.PRETRAINED and os.path.isfile(cfg.MODEL.PRETRAINED):
+    litepose_family = cfg.MODEL.NAME in (
+        "pose_mobilenet", "pose_simplenet", "pose_supermobilenet"
+    )
+    if (litepose_family and cfg.MODEL.INIT_WEIGHTS and cfg.MODEL.PRETRAINED
+            and os.path.isfile(cfg.MODEL.PRETRAINED)):
         from litepose_tpu.models.torch_convert import load_torch_checkpoint
         from litepose_tpu.train.checkpoint import load_pretrained_backbone
 

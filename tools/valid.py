@@ -96,15 +96,31 @@ def main():
     model_file = cfg.TEST.MODEL_FILE
     if model_file:
         if model_file.endswith((".pth", ".tar")):
-            from litepose_tpu.models.torch_convert import (
-                litepose_from_torch,
-                load_torch_checkpoint,
-            )
+            from litepose_tpu.models.torch_convert import load_torch_checkpoint
 
-            spec = ModelSpec.from_config(cfg)
-            params, state = litepose_from_torch(
-                load_torch_checkpoint(model_file), spec, arch
-            )
+            sd = load_torch_checkpoint(model_file)
+            if cfg.MODEL.NAME == "pose_higher_hrnet":
+                from litepose_tpu.models.higher_hrnet import HRNetSpec
+                from litepose_tpu.models.torch_convert import hrnet_from_torch
+
+                params, state = hrnet_from_torch(sd, HRNetSpec.from_config(cfg))
+            elif cfg.MODEL.NAME == "pose_efficient_hrnet":
+                from litepose_tpu.models.efficient_hrnet import EffHRNetSpec
+                from litepose_tpu.models.torch_convert import (
+                    efficient_hrnet_from_torch,
+                )
+
+                params, state = efficient_hrnet_from_torch(
+                    sd, EffHRNetSpec.from_config(cfg)
+                )
+            else:
+                from litepose_tpu.models.torch_convert import litepose_from_torch
+
+                spec = ModelSpec.from_config(cfg)
+                params, state = litepose_from_torch(
+                    sd, spec, arch,
+                    with_skips=(cfg.MODEL.NAME != "pose_simplenet"),
+                )
         else:
             from litepose_tpu.train.checkpoint import load_params
 
