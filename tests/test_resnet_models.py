@@ -118,5 +118,6 @@ def test_registry_has_all_model_families():
 
     names = available()
     for name in ("pose_mobilenet", "pose_simplenet", "pose_supermobilenet",
-                 "pose_resnet", "pose_superresnet"):
+                 "pose_resnet", "pose_superresnet",
+                 "pose_higher_hrnet", "pose_efficient_hrnet"):
         assert name in names
