@@ -174,12 +174,16 @@ def update_config(cfg: ConfigNode, cfg_file: str | None = None, opts=()) -> Conf
     ):
         v = node[key]
         if isinstance(v, str):
-            # YAML like "(True, True)" parses as a string; normalize.
-            node[key] = tuple(
-                s.strip() in ("True", "true", "1")
-                for s in v.strip("()[] ").split(",")
-                if s.strip()
-            )
+            # YAML like "(True, True)" or "(1.0, 1.0)" parses as a string;
+            # normalize.  FACTOR keys are floats — boolean parsing would
+            # silently zero them.
+            items = [s.strip() for s in v.strip("()[] ").split(",") if s.strip()]
+            if key.endswith("_FACTOR"):
+                node[key] = tuple(float(s) for s in items)
+            elif key.endswith("_SIZE"):
+                node[key] = tuple(int(float(s)) for s in items)
+            else:
+                node[key] = tuple(s in ("True", "true", "1") for s in items)
         elif not isinstance(v, (list, tuple)):
             node[key] = (v,)
     cfg.freeze()

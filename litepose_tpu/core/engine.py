@@ -153,9 +153,15 @@ class PoseEngine:
             )
             return self._finalize(people, scores, n, center, scale, hm_hw)
 
-        # multi-scale: accumulate heatmaps across scales, tags at scale 1
+        # multi-scale: accumulate heatmaps across scales, tags at scale 1.
+        # With project2image everything is already at base_hw; without it,
+        # the FIRST (largest) scale's heatmap resolution is the accumulation
+        # grid, matching reference aggregate_results
+        # (/root/reference/lib/core/inference.py:196-206 — final_heatmaps is
+        # set by the first scale and later scales interpolate to it).
         heat_sum = None
         tags_keep = None
+        accum_hw = base_hw if cfg.project2image else None
         for s in scales:
             size_resized, center, scale = get_multi_scale_size(
                 image_rgb_u8.shape[:2], cfg.input_size, s, min_scale
@@ -165,22 +171,24 @@ class PoseEngine:
             keep = s == 1.0 or len(scales) == 1
             run = self._infer_fn((img.shape[0], img.shape[1]), project_hw, keep)
             heat, tag = run(self.params, self.state, img[None])
-            if not cfg.project2image and heat.shape[1:3] != base_hw:
+            if accum_hw is None:
+                accum_hw = tuple(heat.shape[1:3])
+            if heat.shape[1:3] != accum_hw:
                 heat = jax.image.resize(
-                    heat, (1, base_hw[0], base_hw[1], heat.shape[-1]), "bilinear"
+                    heat, (1, accum_hw[0], accum_hw[1], heat.shape[-1]), "bilinear"
                 )
             heat_sum = heat if heat_sum is None else heat_sum + heat
             if keep and tag is not None:
-                if not cfg.project2image and tag.shape[1:3] != base_hw:
+                if tag.shape[1:3] != accum_hw:
                     tag = jax.image.resize(
                         tag,
-                        (1, base_hw[0], base_hw[1]) + tag.shape[3:],
+                        (1, accum_hw[0], accum_hw[1]) + tag.shape[3:],
                         "bilinear",
                     )
                 tags_keep = tag
         heat = heat_sum / float(len(scales))
-        people, scores, n = self._decode_fn(base_hw)(heat, tags_keep)
-        return self._finalize(people, scores, n, center, scale, base_hw)
+        people, scores, n = self._decode_fn(accum_hw)(heat, tags_keep)
+        return self._finalize(people, scores, n, center, scale, accum_hw)
 
     def _finalize(self, people, scores, n, center, scale, hm_hw):
         people = np.asarray(people[0])

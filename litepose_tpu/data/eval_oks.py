@@ -21,8 +21,9 @@ COCO_SIGMAS = np.array(
     [.026, .025, .025, .035, .035, .079, .079, .072, .072,
      .062, .062, .107, .107, .087, .087, .089, .089]
 )
+# crowdposetools protocol: [.79,.79,.72,.72,.62,.62,1.07,1.07,.87,.87,.89,.89,.79,.79]/10
 CROWDPOSE_SIGMAS = np.array(
-    [.079, .079, .072, .072, .062, .062, .107, .107, .089, .089, .079, .079, .079, .079]
+    [.079, .079, .072, .072, .062, .062, .107, .107, .087, .087, .089, .089, .079, .079]
 )
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
@@ -125,6 +126,14 @@ def _evaluate_img(
             dt_ig[t, d] = gt_ig[m]
             dtm[t, d] = m + 1
             gtm[t, m] = d + 1
+    # COCOeval also ignores UNMATCHED detections whose area falls outside
+    # the bucket (dtIg |= dtm==0 & out-of-range); detection area is the
+    # keypoint-extent bbox, as pycocotools loadRes computes it.
+    if area_rng is not None and n_d:
+        xs, ys = dts_kpts[:, :, 0], dts_kpts[:, :, 1]
+        dt_areas = (xs.max(axis=1) - xs.min(axis=1)) * (ys.max(axis=1) - ys.min(axis=1))
+        out = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
+        dt_ig |= (dtm == 0) & out[None, :]
     return ImgEval(dt_matches=dtm, dt_ignore=dt_ig, gt_ignore=gt_ig, dt_scores=dt_scores)
 
 

@@ -5,7 +5,7 @@ TPU-first re-design of the reference block library
 explicit parameter/state pytrees, NHWC layout, bf16 compute with fp32
 parameters and fp32 accumulation.  Numerical semantics (padding, strides,
 BN epsilon/momentum, ReLU6) match PyTorch so reference checkpoints convert
-bit-for-bit (see tests/test_layers_torch_parity.py).
+bit-for-bit (see tests/test_litepose_torch_parity.py).
 
 Conventions:
   * conv weights are HWIO; depthwise convs use ``feature_group_count`` with

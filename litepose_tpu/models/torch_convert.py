@@ -436,11 +436,29 @@ def efficient_hrnet_from_torch(sd: Mapping[str, Any], spec) -> Tuple[dict, dict]
     return params, state
 
 
-def load_torch_checkpoint(path: str):
-    """Load a .pth[.tar] checkpoint file to a flat state_dict (CPU)."""
+def load_torch_checkpoint(path: str, allow_pickle: bool = False):
+    """Load a .pth[.tar] checkpoint file to a flat state_dict (CPU).
+
+    Checkpoints are untrusted content: try ``weights_only=True`` first
+    (no arbitrary pickle execution) and only fall back to the unsafe
+    loader when the caller explicitly opts in via ``allow_pickle``."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"safe (weights_only) load of {path!r} failed: {e}. "
+                "If you trust this checkpoint, retry with allow_pickle=True "
+                "(executes arbitrary pickle code)."
+            ) from e
+        import warnings
+
+        warnings.warn(
+            f"falling back to unsafe pickle load for {path!r}", stacklevel=2
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("state_dict", "best_state_dict", "model"):
             if key in ckpt and isinstance(ckpt[key], dict):

@@ -38,6 +38,30 @@ def test_cli_opts_override():
     assert list(cfg.DATASET.OUTPUT_SIZE) == [32, 64]
 
 
+def test_factor_tuple_strings_parse_as_floats(tmp_path):
+    """Reference-style tuple-string YAML values for the float FACTOR keys
+    must parse as floats, not booleans (which would zero the loss)."""
+    import yaml
+
+    p = tmp_path / "f.yaml"
+    p.write_text(
+        "LOSS:\n"
+        "  NUM_STAGES: 2\n"
+        "  HEATMAPS_LOSS_FACTOR: (1.0, 1.0)\n"
+        "  PUSH_LOSS_FACTOR: (0.001, 0.001)\n"
+        "  PULL_LOSS_FACTOR: (0.001, 0.001)\n"
+        "  WITH_HEATMAPS_LOSS: (True, True)\n"
+        "  WITH_AE_LOSS: (True, False)\n"
+    )
+    cfg = default_config()
+    update_config(cfg, str(p))
+    assert cfg.LOSS.HEATMAPS_LOSS_FACTOR == (1.0, 1.0)
+    assert cfg.LOSS.PUSH_LOSS_FACTOR == (0.001, 0.001)
+    assert cfg.LOSS.PULL_LOSS_FACTOR == (0.001, 0.001)
+    assert cfg.LOSS.WITH_HEATMAPS_LOSS == (True, True)
+    assert cfg.LOSS.WITH_AE_LOSS == (True, False)
+
+
 def test_freeze_blocks_mutation():
     cfg = default_config()
     cfg.freeze()
