@@ -16,6 +16,22 @@ from typing import Any, Dict, List
 import yaml
 
 
+def _coerce(value: Any, default: Any) -> Any:
+    """Match a YAML value to the default's type where that is lossless.
+
+    YAML 1.1 loads exponent floats without a mantissa dot (``4e-3``) as
+    strings; reference experiment YAMLs use that form for LR/WD, so numeric
+    strings merging onto numeric defaults are converted."""
+    if isinstance(value, str) and isinstance(default, (int, float)) \
+            and not isinstance(default, bool):
+        try:
+            f = float(value)
+        except ValueError:
+            return value
+        return int(f) if isinstance(default, int) and f == int(f) else f
+    return value
+
+
 class ConfigNode(dict):
     """Attribute-accessible dict with freeze support."""
 
@@ -74,7 +90,7 @@ class ConfigNode(dict):
                     self[k] = ConfigNode()
                 self[k].merge_from_dict(v, allow_new=allow_new)
             else:
-                self[k] = v
+                self[k] = _coerce(v, self.get(k))
 
     def merge_from_file(self, path: str, allow_new: bool = True) -> None:
         with open(path) as f:

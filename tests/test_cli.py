@@ -1,5 +1,9 @@
 """CLI smoke tests: train -> valid round trip on the fixture dataset."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import os
 import subprocess
 import sys
@@ -32,7 +36,7 @@ def test_train_then_valid_cli(tmp_path):
     ]
     r = _run(
         [os.path.join(REPO, "tools/train.py"), "--cfg",
-         os.path.join(REPO, "configs/crowd_pose/mobile.yaml")]
+         os.path.join(REPO, "configs/crowd_pose/mobilenet/mobile.yaml")]
         + common + ["TRAIN.END_EPOCH", "1", "TRAIN.IMAGES_PER_GPU", "2"],
         cwd=str(tmp_path),
     )
@@ -42,7 +46,7 @@ def test_train_then_valid_cli(tmp_path):
 
     r = _run(
         [os.path.join(REPO, "tools/valid.py"), "--cfg",
-         os.path.join(REPO, "configs/crowd_pose/mobile.yaml")]
+         os.path.join(REPO, "configs/crowd_pose/mobilenet/mobile.yaml")]
         + common + ["TEST.FLIP_TEST", "False", "TEST.MODEL_FILE", ckpt,
                     "--max-images", "2"],
         cwd=str(tmp_path),

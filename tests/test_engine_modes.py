@@ -1,5 +1,9 @@
 """Engine mode coverage: multi-scale, WITH_CENTER, serving fast path."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """HigherHRNet parity vs the reference torch model."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import numpy as np
 import pytest
 

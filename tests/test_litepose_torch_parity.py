@@ -6,6 +6,10 @@ oracle: random-initialized reference weights are converted with
 at fp32/HIGHEST precision.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import numpy as np
 import pytest
 

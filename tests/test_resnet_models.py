@@ -1,5 +1,9 @@
 """LitePose-ResNet family parity and supernet smoke tests."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import numpy as np
 import pytest
 

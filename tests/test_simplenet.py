@@ -1,5 +1,9 @@
 """pose_simplenet (no-skip ablation) parity vs the reference."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import numpy as np
 import pytest
 

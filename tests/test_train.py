@@ -1,5 +1,9 @@
 """Training step tests: loss decreases, BN state updates, SPMD sharding."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/CLI suite; deselect via -m 'not slow'
+
 import numpy as np
 import pytest
 

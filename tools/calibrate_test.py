@@ -5,7 +5,7 @@ Extracts an architecture from a supernet checkpoint, recalibrates its
 BatchNorm statistics on a calibration split, and reports mAP on an eval
 split — the NAS accuracy measurement in isolation.
 
-  python tools/calibrate_test.py --cfg configs/crowd_pose/supermobile.yaml \
+  python tools/calibrate_test.py --cfg configs/crowd_pose/mobilenet/supermobile.yaml \
       --ckpt supernet.msgpack --superconfig mobile_configs/search-S.json \
       --ann-file ... --image-dir ...
 """

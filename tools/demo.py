@@ -29,13 +29,119 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--weights", default=None, help=".msgpack or .pth weights (random init if absent)")
     p.add_argument("--arch", default="auto-XS", help="zoo name or arch JSON path")
-    p.add_argument("--input", required=True, help="image file, directory, or video")
+    p.add_argument("--input", required=True,
+                   help="image file, directory, video, or a camera index like "
+                        "'0' / 'camera' for live capture")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--num-joints", type=int, default=14)
     p.add_argument("--dataset", default="CROWDPOSE", choices=["CROWDPOSE", "COCO"])
     p.add_argument("--backend", default="tpu", choices=["tpu", "native"])
     p.add_argument("--input-size", type=int, default=448)
+    p.add_argument("--live", action="store_true",
+                   help="threaded latest-frame capture loop (implied for "
+                        "camera inputs; also works on video files)")
+    p.add_argument("--no-display", action="store_true",
+                   help="live mode: skip cv2.imshow, write periodic snapshots")
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="live mode: stop after N frames (0 = run until source ends)")
     return p.parse_args()
+
+
+class LatestFrameCapture:
+    """Threaded capture that always holds only the freshest frame, so a slow
+    model never falls behind a fast camera (reference
+    ``nano_demo/start.py:34-41`` semantics: 720p capture thread feeding the
+    inference loop)."""
+
+    def __init__(self, source, width=1280, height=720):
+        import threading
+
+        import cv2
+
+        self.cap = cv2.VideoCapture(source)
+        if isinstance(source, int):
+            self.cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+            self.cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+        self._lock = threading.Lock()
+        self._frame = None
+        self.running = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        if not self.cap.isOpened():
+            raise RuntimeError("could not open capture source")
+        self.running = True
+        self._thread.start()
+        return self
+
+    def _loop(self):
+        while self.running:
+            ok, frame = self.cap.read()
+            if not ok:
+                self.running = False
+                break
+            with self._lock:
+                self._frame = frame
+
+    def read(self):
+        """Pop the freshest frame (None if nothing new since the last pop)."""
+        with self._lock:
+            frame, self._frame = self._frame, None
+        return frame
+
+    def stop(self):
+        self.running = False
+        self._thread.join(timeout=2.0)
+        self.cap.release()
+
+
+def run_live(source, infer, args, draw_skeleton):
+    """Live loop: threaded capture -> infer -> skeleton + fps overlay ->
+    display (or snapshot files when headless), mirroring the reference
+    webcam app (``nano_demo/start.py:94-115``)."""
+    import cv2
+
+    cap = LatestFrameCapture(source).start()
+    display = bool(os.environ.get("DISPLAY")) and not args.no_display
+    fps = 0.0
+    n, t0 = 0, time.time()
+    try:
+        while cap.running or True:
+            frame = cap.read()
+            if frame is None:
+                if not cap.running:
+                    break
+                time.sleep(0.002)
+                continue
+            sq = center_crop_square(
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), args.input_size
+            )
+            t1 = time.time()
+            people, scores = infer(sq)
+            dt = max(time.time() - t1, 1e-6)
+            fps = (0.9 * fps + 0.1 / dt) if fps else 1.0 / dt
+            canvas = cv2.cvtColor(draw_skeleton(sq, people, args.dataset),
+                                  cv2.COLOR_RGB2BGR)
+            cv2.putText(canvas, f"{fps:5.1f} fps", (10, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0), 2)
+            if display:
+                cv2.imshow("litepose_tpu", canvas)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            elif n % 10 == 0:
+                cv2.imwrite(
+                    os.path.join(args.output, f"live_{n:06d}.jpg"), canvas
+                )
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    finally:
+        cap.stop()
+        if display:
+            cv2.destroyAllWindows()
+    wall = max(time.time() - t0, 1e-9)
+    print(f"live: {n} frames in {wall:.1f}s ({n / wall:.2f} fps e2e, "
+          f"{fps:.2f} fps model)")
 
 
 def center_crop_square(image, size):
@@ -133,6 +239,14 @@ def main():
             return list(people), scores
 
     os.makedirs(args.output, exist_ok=True)
+
+    cam = args.input.lower() in ("camera", "webcam") or args.input.isdigit()
+    if cam or args.live:
+        source = int(args.input) if args.input.isdigit() else (
+            0 if cam else args.input
+        )
+        run_live(source, infer, args, draw_skeleton)
+        return
 
     def frames():
         if os.path.isdir(args.input):

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Fold BatchNorm into convolutions with output verification.
 
-  python tools/fuse_bn.py --cfg configs/crowd_pose/mobile.yaml \
+  python tools/fuse_bn.py --cfg configs/crowd_pose/mobilenet/mobile.yaml \
       --superconfig mobile_configs/search-S.json \
       --ckpt weights.msgpack --out weights_fused.msgpack
 """

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Evolutionary NAS CLI (the reference ``search.py`` flow).
 
-  python tools/search.py --cfg configs/crowd_pose/supermobile.yaml \
+  python tools/search.py --cfg configs/crowd_pose/mobilenet/supermobile.yaml \
       --ckpt output/.../checkpoint.msgpack --constraint 8.0 \
       --ann-file ... --image-dir ... --out search_result.json
 """

@@ -5,7 +5,7 @@ TPU-native replacement for the reference ``dist_train.py``: no process
 spawning, no NCCL process groups — one SPMD jit over a ``Mesh('data')``
 (multi-host via ``jax.distributed.initialize``).  Usage:
 
-  python tools/train.py --cfg configs/crowd_pose/mobile.yaml \
+  python tools/train.py --cfg configs/crowd_pose/mobilenet/mobile.yaml \
       [--superconfig mobile_configs/search-S.json] [--teacher ...] \
       [KEY VALUE ...]
 """

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Evaluation CLI (the reference ``valid.py`` flow, decode fused on device).
 
-  python tools/valid.py --cfg configs/crowd_pose/mobile.yaml \
+  python tools/valid.py --cfg configs/crowd_pose/mobilenet/mobile.yaml \
       --superconfig mobile_configs/search-S.json \
       TEST.MODEL_FILE path/to/ckpt.pth.tar
 """

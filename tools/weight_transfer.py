@@ -6,7 +6,7 @@ channel slices tensor-by-tensor; here extraction is a pure pytree transform
 (``extract_subnet``) and verification compares supernet(pinned arch) vs
 subnet outputs on a shared random input.
 
-  python tools/weight_transfer.py --cfg configs/crowd_pose/supermobile.yaml \
+  python tools/weight_transfer.py --cfg configs/crowd_pose/mobilenet/supermobile.yaml \
       --superconfig mobile_configs/search-S.json \
       --ckpt output/.../checkpoint.msgpack --out pretrain/crowdpose-S.msgpack
 """
