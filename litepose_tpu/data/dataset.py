@@ -217,7 +217,13 @@ def make_batch_iterator(
     order = np.arange(n)
     if shuffle:
         np.random.default_rng((pipeline.seed, epoch)).shuffle(order)
-    # shard across hosts (replaces DistributedSampler)
+    # shard across hosts (replaces DistributedSampler).  Every host MUST
+    # yield the same number of batches or the SPMD step deadlocks: truncate
+    # the global order to a multiple of (process_count * batch_size) first
+    # when dropping remainders, so shards are exactly equal.
+    if drop_last:
+        per_shard = n // process_count // batch_size * batch_size
+        order = order[: per_shard * process_count]
     order = order[process_index::process_count]
     if drop_last:
         order = order[: len(order) // batch_size * batch_size]
