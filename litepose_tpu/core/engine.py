@@ -30,7 +30,7 @@ from ..data.affine import (
     get_multi_scale_size,
     warp_image,
 )
-from ..ops.group import StaticGroupCfg, parse_single
+from ..ops.group import StaticGroupCfg, parse_batch
 from ..ops.group_ref import GroupParams
 from .inference import InferenceFlags, make_infer_fn, to_decode_layout
 
@@ -45,6 +45,7 @@ class EngineConfig:
     # decode modes: exact for eval parity, fast for serving
     assignment: str = "hungarian"  # or "greedy"
     topk_method: str = "exact"  # or "approx"
+    decode_bf16: bool = False  # serving: bf16 aggregation/NMS glue
 
 
 class PoseEngine:
@@ -63,6 +64,8 @@ class PoseEngine:
         self.apply_fn = apply_fn
         self.params = params
         self.state = state
+        if config.decode_bf16:
+            flags = flags._replace(decode_bf16=True)
         self.flags = flags
         self.group_cfg = StaticGroupCfg.from_params(
             group, assignment=config.assignment, topk_method=config.topk_method
@@ -86,9 +89,7 @@ class PoseEngine:
             def fused(params, state, images_u8):
                 heat, tag = infer(params, state, images_u8)
                 det, tagt = to_decode_layout(heat, tag)
-                return jax.vmap(
-                    lambda d, t: parse_single(d, t, gcfg, wa, wr)
-                )(det, tagt)
+                return parse_batch(det, tagt, gcfg, wa, wr)
 
             self._fused[key] = fused
         return self._fused[key]
@@ -114,9 +115,7 @@ class PoseEngine:
             @jax.jit
             def decode(heat, tag):
                 det, tagt = to_decode_layout(heat, tag)
-                return jax.vmap(
-                    lambda d, t: parse_single(d, t, gcfg, wa, wr)
-                )(det, tagt)
+                return parse_batch(det, tagt, gcfg, wa, wr)
 
             self._decode[hw] = decode
         return self._decode[hw]

@@ -47,6 +47,10 @@ class InferenceFlags(NamedTuple):
     flip_index: Tuple[int, ...] = ()
     project2image: bool = False
     ignore_center: bool = False  # WITH_CENTER and TEST.IGNORE_CENTER
+    # serving fast path: aggregate/upsample/transpose the decode tensors in
+    # bf16 (halves the HBM traffic of the decode glue). Eval keeps fp32 for
+    # reference-parity NMS tie behavior.
+    decode_bf16: bool = False
 
     @staticmethod
     def from_config(cfg, flip_index: Sequence[int]) -> "InferenceFlags":
@@ -87,6 +91,8 @@ def _collect(outputs, flags: InferenceFlags):
     n_heat = 0
     tags = []
     for i, out in enumerate(outputs):
+        if flags.decode_bf16:
+            out = out.astype(jnp.bfloat16)
         if len(outputs) > 1 and i != len(outputs) - 1:
             out = _resize_bilinear(out, final_hw)
         offset = flags.num_joints if flags.with_heatmaps_loss[i] else 0

@@ -266,7 +266,32 @@ def parse_single(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_adjust", "with_refine"))
 def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=True):
-    """Batched decode: det (B,K,H,W), tag (B,K,H,W,T)."""
+    """Batched decode: det (B,K,H,W), tag (B,K,H,W,T).
+
+    Serving configs (greedy assignment, single tag dim) group in one Pallas
+    kernel — batch on the 128 VPU lanes, the whole 14-joint x 30-iteration
+    sequential chain as in-kernel vector ops (~5x faster than the vmapped
+    ``lax.scan``, see ops/pallas_group.py)."""
+    if cfg.assignment == "greedy" and tag.shape[-1] == 1:
+        from .pallas_group import match_by_tag_batch_pallas
+
+        tag_k, loc_k, val_k = jax.vmap(
+            lambda d, t: top_k_peaks(
+                d, t, cfg.max_people, cfg.nms_kernel, cfg.nms_padding,
+                method=cfg.topk_method,
+            )
+        )(det, tag)
+        # gathered peaks are tiny; group in fp32 even when the maps are bf16
+        people, n_cl = match_by_tag_batch_pallas(
+            tag_k.astype(jnp.float32), loc_k.astype(jnp.float32),
+            val_k.astype(jnp.float32), cfg,
+        )
+        if with_adjust:
+            people = jax.vmap(adjust)(people, det)
+        scores = jnp.mean(people[..., 2], axis=-1)
+        if with_refine:
+            people = jax.vmap(refine)(people, det, tag)
+        return people, scores, n_cl
     return jax.vmap(
         lambda d, t: parse_single(d, t, cfg, with_adjust, with_refine)
     )(det, tag)

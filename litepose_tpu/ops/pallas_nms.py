@@ -25,7 +25,9 @@ NEG = -3.0e38
 
 
 def _nms_kernel(x_ref, o_ref, *, PB, H, W, r):
-    x = x_ref[:]  # (PB, H, W)
+    # Mosaic on v5e has no bf16 vector compare; upcasting is VMEM-local so
+    # the HBM-traffic win of bf16 inputs is kept.
+    x = x_ref[:].astype(jnp.float32)  # (PB, H, W)
     # row direction: max over [i-r, i+r]
     m = x
     for d in range(1, r + 1):
@@ -38,7 +40,7 @@ def _nms_kernel(x_ref, o_ref, *, PB, H, W, r):
         lf = jnp.concatenate([m[:, :, d:], jnp.full((PB, H, d), NEG, m.dtype)], axis=2)
         rt = jnp.concatenate([jnp.full((PB, H, d), NEG, m.dtype), m[:, :, :-d]], axis=2)
         mm = jnp.maximum(mm, jnp.maximum(lf, rt))
-    o_ref[:] = jnp.where(mm == x, x, jnp.zeros_like(x))
+    o_ref[:] = jnp.where(mm == x, x, jnp.zeros_like(x)).astype(o_ref.dtype)
 
 
 def heatmap_nms_pallas(det: jnp.ndarray, kernel: int = 5) -> jnp.ndarray:
