@@ -130,6 +130,21 @@ def main():
         except Exception as e:  # OOM at large batch etc.
             print(f"# batch={bs} failed: {e}", file=sys.stderr)
 
+    # Emit the driver-facing JSON line BEFORE the slower eval-parity bench so
+    # an external timeout during the extra section can't lose the main result.
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip",
+                "value": round(best, 1),
+                "unit": "img/s",
+                "vs_baseline": round(best / 5000.0, 4),
+                "detail": f"LitePose-Auto-S@448 bf16 fwd+decode fused, batch={best_bs}",
+            }
+        ),
+        flush=True,
+    )
+
     # Eval-parity decode mode (exact Hungarian + exact top-k + adjust/refine,
     # the tools/valid.py semantics) benchmarked alongside serving so eval
     # throughput regressions are visible.  Reported on stderr to keep the
@@ -151,18 +166,6 @@ def main():
         }), file=sys.stderr)
     except Exception as e:
         print(f"# eval-parity bench failed: {e}", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_per_chip",
-                "value": round(best, 1),
-                "unit": "img/s",
-                "vs_baseline": round(best / 5000.0, 4),
-                "detail": f"LitePose-Auto-S@448 bf16 fwd+decode fused, batch={best_bs}",
-            }
-        )
-    )
 
 
 if __name__ == "__main__":
