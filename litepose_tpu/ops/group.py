@@ -271,16 +271,28 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
     Serving configs (greedy assignment, single tag dim) group in one Pallas
     kernel — batch on the 128 VPU lanes, the whole 14-joint x 30-iteration
     sequential chain as in-kernel vector ops (~5x faster than the vmapped
-    ``lax.scan``, see ops/pallas_group.py)."""
-    if cfg.assignment == "greedy" and tag.shape[-1] == 1:
-        from .pallas_group import match_by_tag_batch_pallas
+    ``lax.scan``, see ops/pallas_group.py).  Exact top-k runs as the fused
+    NMS+extract kernel (ops/pallas_topk.py) and refinement as the batched
+    single-HBM-pass kernel (ops/pallas_refine.py) — both bit-exact, so the
+    eval path uses them too."""
+    from .pallas_refine import refine_batch
 
-        tag_k, loc_k, val_k = jax.vmap(
+    def peaks_batched(det, tag):
+        if cfg.topk_method == "exact" and cfg.nms_padding == cfg.nms_kernel // 2:
+            from .pallas_topk import top_k_peaks_batch
+
+            return top_k_peaks_batch(det, tag, cfg.max_people, cfg.nms_kernel)
+        return jax.vmap(
             lambda d, t: top_k_peaks(
                 d, t, cfg.max_people, cfg.nms_kernel, cfg.nms_padding,
                 method=cfg.topk_method,
             )
         )(det, tag)
+
+    if cfg.assignment == "greedy" and tag.shape[-1] == 1:
+        from .pallas_group import match_by_tag_batch_pallas
+
+        tag_k, loc_k, val_k = peaks_batched(det, tag)
         # gathered peaks are tiny; group in fp32 even when the maps are bf16
         people, n_cl = match_by_tag_batch_pallas(
             tag_k.astype(jnp.float32), loc_k.astype(jnp.float32),
@@ -290,8 +302,17 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
             people = jax.vmap(adjust)(people, det)
         scores = jnp.mean(people[..., 2], axis=-1)
         if with_refine:
-            people = jax.vmap(refine)(people, det, tag)
+            people = refine_batch(people, det, tag)
         return people, scores, n_cl
-    return jax.vmap(
-        lambda d, t: parse_single(d, t, cfg, with_adjust, with_refine)
-    )(det, tag)
+
+    tag_k, loc_k, val_k = peaks_batched(det, tag)
+    people, n_cl = jax.vmap(lambda tk, lk, vk: match_by_tag(tk, lk, vk, cfg))(
+        tag_k.astype(jnp.float32), loc_k.astype(jnp.float32),
+        val_k.astype(jnp.float32),
+    )
+    if with_adjust:
+        people = jax.vmap(adjust)(people, det)
+    scores = jnp.mean(people[..., 2], axis=-1)
+    if with_refine:
+        people = refine_batch(people, det, tag)
+    return people, scores, n_cl

@@ -1,0 +1,155 @@
+"""Missing-joint refinement as a single-HBM-pass Pallas TPU kernel.
+
+``ops.group.refine`` (reference semantics:
+``/root/reference/lib/core/group.py:199-267``) computes, for every person
+slot p and joint k, ``argmax_x det_k(x) - round(||tag_k(x) - prev_p||)``.
+The vmapped XLA formulation re-reads the full (K, H, W[, T]) det/tag maps
+once per person slot — P=30 full-map passes (~22 ms at b64/224^2, the
+largest single piece of the eval decode after the Hungarian).
+
+This kernel makes one pass: each grid step DMAs one (image, joint) det/tag
+plane into VMEM and computes the penalized argmax for ALL person slots from
+VMEM (the per-person means live in SMEM).  HBM traffic drops P-fold; the
+extra VPU work (P elementwise passes over a 200 KB plane) is cheap.
+
+The argmax is exact, including the reference's flat row-major first-max
+tie-break (min flat index among maxima).  The gather/quarter-pixel/fill
+epilogue stays in XLA (`refine_batch` below) and is shared with the
+reference-semantics path; bit-parity with ``group.refine`` is tested in
+tests/test_pallas_refine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# python int (not a jnp scalar): pallas kernels may not capture tracers
+HUGE_I = 2**31 - 1
+
+
+def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K):
+    """Grid step (b, k): penalized argmax for the image's person slots.
+
+    n_ref:    (1, 1, 1) i32 SMEM — number of live person slots (dynamic loop
+        bound: empty slots cost nothing, mirroring the reference which
+        only refines actual persons)
+    prev_ref: (1, P, T) f32 SMEM — per-person mean tags
+    det_ref:  (1, 1, H, W) f32 VMEM
+    tag_ref:  (1, 1, T, H, W) f32 VMEM
+    pos_ref:  (1, K, P) i32 SMEM out — flat row-major argmax index; the
+        block spans all K (Mosaic needs ≥8-divisible or full trailing
+        dims) and stays resident across the inner k grid steps.
+        Slots >= n are left unwritten (masked by the caller).
+    """
+    k = pl.program_id(1)
+    x = det_ref[0, 0]  # (H, W)
+    idx = (
+        lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+
+    def body(p, _):
+        if T == 1:
+            tt = jnp.abs(tag_ref[0, 0, 0] - prev_ref[0, p, 0])
+        else:
+            acc = jnp.zeros((H, W), jnp.float32)
+            for t in range(T):
+                d = tag_ref[0, 0, t] - prev_ref[0, p, t]
+                acc = acc + d * d
+            tt = jnp.sqrt(acc)
+        penal = x - jnp.round(tt)
+        m = jnp.max(penal)
+        pos_ref[0, k, p] = jnp.min(jnp.where(penal == m, idx, HUGE_I))
+        return 0
+
+    lax.fori_loop(0, jnp.minimum(n_ref[0, 0, 0], P), body, 0)
+
+
+def refine_argmax_pallas(n_people, prev, det, tag_t):
+    """n_people (B,) i32, prev (B,P,T) f32, det (B,K,H,W) f32,
+    tag_t (B,K,T,H,W) f32 -> pos (B,K,P) i32 (flat row-major argmax of
+    det - round(||tag-prev||); slots >= n_people[b] are unspecified)."""
+    B, K, H, W = det.shape
+    P, T = prev.shape[1], prev.shape[2]
+    kern = functools.partial(_refine_kernel, P=P, H=H, W=W, T=T, K=K)
+    return pl.pallas_call(
+        kern,
+        grid=(B, K),
+        in_specs=[
+            # (B, 1, 1): Mosaic rejects rank-1 / non-full trailing blocks
+            pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P, T), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, H, W), lambda b, k: (b, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, H, W), lambda b, k: (b, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, P), lambda b, k: (b, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K, P), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(n_people.reshape(B, 1, 1), prev, det, tag_t)
+
+
+def refine_batch(people, det, tag):
+    """Batched ``group.refine``: people (B,P,K,3+T), det (B,K,H,W),
+    tag (B,K,H,W,T) -> refined people.  Same semantics, one HBM pass."""
+    B, P, K, _ = people.shape
+    H, W = det.shape[-2:]
+    T = tag.shape[-1]
+    det = det.astype(jnp.float32)
+    tag = tag.astype(jnp.float32)
+
+    # ---- per-person mean tag at detected joints (tiny, XLA) ----
+    kp_v = people[..., 2]  # (B, P, K)
+    sel = kp_v > 0
+    xi = jnp.clip(people[..., 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(people[..., 1].astype(jnp.int32), 0, H - 1)
+    kk = jnp.broadcast_to(jnp.arange(K)[None, None, :], (B, P, K))
+    bb = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, P, K))
+    tags_at = tag[bb, kk, yi, xi]  # (B, P, K, T)
+    cnt = jnp.maximum(jnp.sum(sel, axis=-1), 1)  # (B, P)
+    prev = (
+        jnp.sum(jnp.where(sel[..., None], tags_at, 0.0), axis=2)
+        / cnt[..., None]
+    )  # (B, P, T)
+
+    # live person slots: clusters are assigned contiguously, but guard
+    # against arbitrary callers by using (last live slot + 1)
+    exists = jnp.any(sel, axis=-1)  # (B, P)
+    n_people = jnp.max(
+        jnp.where(exists, jnp.arange(1, P + 1)[None, :], 0), axis=-1
+    ).astype(jnp.int32)  # (B,)
+
+    # ---- penalized argmax, one pass over det/tag (Pallas) ----
+    tag_t = jnp.transpose(tag, (0, 1, 4, 2, 3))  # (B, K, T, H, W)
+    pos = refine_argmax_pallas(n_people, prev, det, tag_t)  # (B, K, P)
+    pos = jnp.transpose(pos, (0, 2, 1))  # (B, P, K)
+    # dead slots carry unspecified pos; clamp so the gathers stay in range
+    # (their results are masked out by `exists` below)
+    pos = jnp.clip(pos, 0, H * W - 1)
+
+    # ---- gather + quarter-pixel + fill epilogue (tiny, XLA) ----
+    py = pos // W
+    px = pos % W
+    val = det[bb, kk, py, px]
+
+    def at(yy, xx):
+        return det[bb, kk, jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+
+    fx = px + 0.5 + jnp.where(at(py, px + 1) > at(py, px - 1), 0.25, -0.25)
+    fy = py + 0.5 + jnp.where(at(py + 1, px) > at(py - 1, px), 0.25, -0.25)
+
+    fill = (val > 0) & (kp_v == 0)
+    out = people.at[..., 0].set(jnp.where(fill, fx, people[..., 0]))
+    out = out.at[..., 1].set(jnp.where(fill, fy, people[..., 1]))
+    out = out.at[..., 2].set(jnp.where(fill, val, people[..., 2]))
+    return jnp.where(exists[..., None, None], out, 0.0)

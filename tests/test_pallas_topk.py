@@ -1,0 +1,56 @@
+"""Parity: fused Pallas NMS+top-k vs heatmap_nms + lax.top_k (tie order too)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from litepose_tpu.ops.nms import heatmap_nms, top_k_peaks
+from litepose_tpu.ops.pallas_topk import nms_topk_pallas, top_k_peaks_batch
+
+
+@pytest.mark.parametrize("kernel", [3, 5])
+def test_nms_topk_matches_xla(kernel):
+    rng = np.random.default_rng(0)
+    B, K, H, W, M = 2, 3, 48, 64, 10
+    det = rng.standard_normal((B, K, H, W)).astype(np.float32)
+    # exact ties at several spots
+    det[0, 0, 5, 7] = det[0, 0, 20, 3] = det[0, 0, 40, 50] = 4.0
+    det[1, 2] = 0.0  # plane with no positive peaks
+    x = jnp.asarray(det)
+
+    val, pos = nms_topk_pallas(x, M, kernel)
+    sup = heatmap_nms(x, kernel, kernel // 2).reshape(B, K, H * W)
+    want_v, want_i = lax.top_k(sup, M)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_i))
+
+
+def test_nms_topk_bf16_input():
+    rng = np.random.default_rng(1)
+    B, K, H, W, M = 1, 2, 32, 32, 6
+    det = rng.standard_normal((B, K, H, W)).astype(np.float32)
+    x16 = jnp.asarray(det).astype(jnp.bfloat16)
+    val, pos = nms_topk_pallas(x16, M, 5)
+    x32 = x16.astype(jnp.float32)
+    sup = heatmap_nms(x32, 5, 2).reshape(B, K, H * W)
+    want_v, want_i = lax.top_k(sup, M)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_i))
+
+
+def test_top_k_peaks_batch_matches_vmapped():
+    rng = np.random.default_rng(2)
+    B, K, H, W, T, M = 2, 4, 40, 56, 2, 8
+    det = jnp.asarray(rng.standard_normal((B, K, H, W)), jnp.float32)
+    tag = jnp.asarray(rng.standard_normal((B, K, H, W, T)), jnp.float32)
+
+    tag_k, loc_k, val_k = top_k_peaks_batch(det, tag, M, 5)
+    want = jax.vmap(lambda d, t: top_k_peaks(d, t, M, 5, 2, method="exact"))(
+        det, tag
+    )
+    np.testing.assert_array_equal(np.asarray(tag_k), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(loc_k), np.asarray(want[1]))
+    np.testing.assert_array_equal(np.asarray(val_k), np.asarray(want[2]))
