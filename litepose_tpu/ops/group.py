@@ -289,27 +289,21 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
             )
         )(det, tag)
 
-    if cfg.assignment == "greedy" and tag.shape[-1] == 1:
+    tag_k, loc_k, val_k = peaks_batched(det, tag)
+    tag_k = tag_k.astype(jnp.float32)
+    loc_k = loc_k.astype(jnp.float32)
+    val_k = val_k.astype(jnp.float32)
+    # the Pallas kernel covers both assignment modes for T<=2 (greedy
+    # serving and the lane-vectorized exact Hungarian); gathered peaks are
+    # tiny, so grouping runs in fp32 even when the maps are bf16
+    if tag.shape[-1] <= 2 and cfg.max_people == val_k.shape[-1]:
         from .pallas_group import match_by_tag_batch_pallas
 
-        tag_k, loc_k, val_k = peaks_batched(det, tag)
-        # gathered peaks are tiny; group in fp32 even when the maps are bf16
-        people, n_cl = match_by_tag_batch_pallas(
-            tag_k.astype(jnp.float32), loc_k.astype(jnp.float32),
-            val_k.astype(jnp.float32), cfg,
-        )
-        if with_adjust:
-            people = jax.vmap(adjust)(people, det)
-        scores = jnp.mean(people[..., 2], axis=-1)
-        if with_refine:
-            people = refine_batch(people, det, tag)
-        return people, scores, n_cl
-
-    tag_k, loc_k, val_k = peaks_batched(det, tag)
-    people, n_cl = jax.vmap(lambda tk, lk, vk: match_by_tag(tk, lk, vk, cfg))(
-        tag_k.astype(jnp.float32), loc_k.astype(jnp.float32),
-        val_k.astype(jnp.float32),
-    )
+        people, n_cl = match_by_tag_batch_pallas(tag_k, loc_k, val_k, cfg)
+    else:
+        people, n_cl = jax.vmap(
+            lambda tk, lk, vk: match_by_tag(tk, lk, vk, cfg)
+        )(tag_k, loc_k, val_k)
     if with_adjust:
         people = jax.vmap(adjust)(people, det)
     scores = jnp.mean(people[..., 2], axis=-1)
