@@ -39,36 +39,44 @@ HUGE_I = 2**31 - 1
 
 
 def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, K, r):
-    k = pl.program_id(1)
-    # ---- separable maxpool-equality NMS (fp32 in VMEM) ----
-    x = x_ref[0, 0].astype(jnp.float32)  # (H, W)
-    m = x
-    for d in range(1, r + 1):
-        up = jnp.concatenate([x[d:], jnp.full((d, W), NEG, x.dtype)], axis=0)
-        dn = jnp.concatenate([jnp.full((d, W), NEG, x.dtype), x[:-d]], axis=0)
-        m = jnp.maximum(m, jnp.maximum(up, dn))
-    mm = m
-    for d in range(1, r + 1):
-        lf = jnp.concatenate([m[:, d:], jnp.full((H, d), NEG, m.dtype)], axis=1)
-        rt = jnp.concatenate([jnp.full((H, d), NEG, m.dtype), m[:, :-d]], axis=1)
-        mm = jnp.maximum(mm, jnp.maximum(lf, rt))
-    xs[:] = jnp.where(mm == x, x, jnp.zeros_like(x))
+    """Grid step (b,): NMS + exact top-M for all K joint planes.
 
-    # ---- row-hierarchical exact top-M ----
-    rm[:] = jnp.max(xs[:], axis=1, keepdims=True)  # (H, 1)
+    All K planes are suppressed first, then the M extraction rounds run
+    k-innermost so the K independent per-plane chains can overlap their
+    serialized scalar readbacks (reduce -> dynamic slice index).  Mosaic's
+    in-order scalar unit only partially exploits this (~5% measured); the
+    ~0.7 us per extraction scalar round-trip remains the kernel's floor."""
+    for k in range(K):
+        # ---- separable maxpool-equality NMS (fp32 in VMEM) ----
+        x = x_ref[0, k].astype(jnp.float32)  # (H, W)
+        m = x
+        for d in range(1, r + 1):
+            up = jnp.concatenate([x[d:], jnp.full((d, W), NEG, x.dtype)], axis=0)
+            dn = jnp.concatenate([jnp.full((d, W), NEG, x.dtype), x[:-d]], axis=0)
+            m = jnp.maximum(m, jnp.maximum(up, dn))
+        mm = m
+        for d in range(1, r + 1):
+            lf = jnp.concatenate([m[:, d:], jnp.full((H, d), NEG, m.dtype)], axis=1)
+            rt = jnp.concatenate([jnp.full((H, d), NEG, m.dtype), m[:, :-d]], axis=1)
+            mm = jnp.maximum(mm, jnp.maximum(lf, rt))
+        xs[k] = jnp.where(mm == x, x, jnp.zeros_like(x))
+        rm[k] = jnp.max(xs[k], axis=1, keepdims=True)  # (H, 1)
+
+    # ---- row-hierarchical exact top-M, K chains interleaved ----
     riota = lax.broadcasted_iota(jnp.int32, (H, 1), 0)
     ciota = lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
     def body(i, _):
-        top = jnp.max(rm[:])
-        rr = jnp.min(jnp.where(rm[:] == top, riota, HUGE_I))
-        row = xs[pl.ds(rr, 1), :]  # (1, W)
-        cc = jnp.min(jnp.where(row == top, ciota, HUGE_I))
-        val_ref[0, k, i] = top
-        pos_ref[0, k, i] = rr * W + cc
-        new_row = jnp.where(ciota == cc, NEG, row)
-        xs[pl.ds(rr, 1), :] = new_row
-        rm[pl.ds(rr, 1), :] = jnp.max(new_row, axis=1, keepdims=True)
+        for k in range(K):
+            top = jnp.max(rm[k])
+            rr = jnp.min(jnp.where(rm[k] == top, riota, HUGE_I))
+            row = xs[k, pl.ds(rr, 1), :]  # (1, W)
+            cc = jnp.min(jnp.where(row == top, ciota, HUGE_I))
+            val_ref[0, k, i] = top
+            pos_ref[0, k, i] = rr * W + cc
+            new_row = jnp.where(ciota == cc, NEG, row)
+            xs[k, pl.ds(rr, 1), :] = new_row
+            rm[k, pl.ds(rr, 1), :] = jnp.max(new_row, axis=1, keepdims=True)
         return 0
 
     lax.fori_loop(0, M, body, 0, unroll=False)
@@ -88,15 +96,15 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5):
     )
     return pl.pallas_call(
         kern,
-        grid=(B, K),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, H, W), lambda b, k: (b, k, 0, 0),
+            pl.BlockSpec((1, K, H, W), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((1, K, M), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, K, M), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, M), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, K, M), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
@@ -104,8 +112,8 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5):
             jax.ShapeDtypeStruct((B, K, M), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((H, W), jnp.float32),
-            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((K, H, W), jnp.float32),
+            pltpu.VMEM((K, H, 1), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(det)
