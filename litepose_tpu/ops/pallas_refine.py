@@ -42,10 +42,10 @@ def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K)
     prev_ref: (1, P, T) f32 SMEM — per-person mean tags
     det_ref:  (1, 1, H, W) f32 VMEM
     tag_ref:  (1, 1, T, H, W) f32 VMEM
-    pos_ref:  (1, K, P) i32 SMEM out — flat row-major argmax index; the
+    pos_ref:  (1, K, P) i32 VMEM out — flat row-major argmax index; the
         block spans all K (Mosaic needs ≥8-divisible or full trailing
         dims) and stays resident across the inner k grid steps.
-        Slots >= n are left unwritten (masked by the caller).
+        Slots >= n are written as 0 (masked by the caller).
     """
     k = pl.program_id(1)
     x = det_ref[0, 0]  # (H, W)
@@ -53,8 +53,12 @@ def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K)
         lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
         + lax.broadcasted_iota(jnp.int32, (H, W), 1)
     )
+    iota_sp = lax.broadcasted_iota(jnp.int32, (1, P), 1)
 
-    def body(p, _):
+    # all-vector: (1,1) keepdims reductions + one-hot accumulation into a
+    # (1, P) register written once — per-slot scalar stores would serialize
+    # on ~0.5 us vector->scalar round-trips
+    def body(p, poss):
         if T == 1:
             tt = jnp.abs(tag_ref[0, 0, 0] - prev_ref[0, p, 0])
         else:
@@ -64,11 +68,18 @@ def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K)
                 acc = acc + d * d
             tt = jnp.sqrt(acc)
         penal = x - jnp.round(tt)
-        m = jnp.max(penal)
-        pos_ref[0, k, p] = jnp.min(jnp.where(penal == m, idx, HUGE_I))
-        return 0
+        mv = jnp.max(jnp.max(penal, axis=1, keepdims=True), axis=0,
+                     keepdims=True)  # (1, 1)
+        cand = jnp.where(penal == mv, idx, HUGE_I)
+        pos = jnp.min(jnp.min(cand, axis=1, keepdims=True), axis=0,
+                      keepdims=True)  # (1, 1)
+        return jnp.where(iota_sp == p, pos, poss)
 
-    lax.fori_loop(0, jnp.minimum(n_ref[0, 0, 0], P), body, 0)
+    poss = lax.fori_loop(
+        0, jnp.minimum(n_ref[0, 0, 0], P), body,
+        jnp.zeros((1, P), jnp.int32),
+    )
+    pos_ref[0, k] = poss[0]
 
 
 def refine_argmax_pallas(n_people, prev, det, tag_t):
@@ -93,7 +104,7 @@ def refine_argmax_pallas(n_people, prev, det, tag_t):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, K, P), lambda b, k: (b, 0, 0),
-                               memory_space=pltpu.SMEM),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, K, P), jnp.int32),
         interpret=jax.default_backend() != "tpu",
     )(n_people.reshape(B, 1, 1), prev, det, tag_t)
