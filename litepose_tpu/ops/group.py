@@ -268,13 +268,14 @@ def parse_single(
 def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=True):
     """Batched decode: det (B,K,H,W), tag (B,K,H,W,T).
 
-    Serving configs (greedy assignment, single tag dim) group in one Pallas
-    kernel — batch on the 128 VPU lanes, the whole 14-joint x 30-iteration
-    sequential chain as in-kernel vector ops (~5x faster than the vmapped
-    ``lax.scan``, see ops/pallas_group.py).  Exact top-k runs as the fused
-    NMS+extract kernel (ops/pallas_topk.py) and refinement as the batched
-    single-HBM-pass kernel (ops/pallas_refine.py) — both bit-exact, so the
-    eval path uses them too."""
+    Both assignment modes (greedy serving AND exact-Hungarian eval, tag
+    dim <= 2) group in one Pallas kernel — batch on the 128 VPU lanes, the
+    whole 14-joint sequential chain as in-kernel vector ops, with a
+    lane-vectorized exact JV solver for the hungarian mode (bit-identical
+    to the XLA scan; see ops/pallas_group.py).  Exact top-k runs as the
+    fused NMS+extract kernel (ops/pallas_topk.py) and refinement as the
+    batched single-HBM-pass kernel (ops/pallas_refine.py) — all bit-exact,
+    so the eval path uses them too."""
     from .pallas_refine import refine_batch
 
     def peaks_batched(det, tag):

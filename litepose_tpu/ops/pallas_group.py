@@ -213,9 +213,10 @@ def _group_kernel(tag_ref, val_ref, cid_ref, ncl_ref, *, cfg: StaticGroupCfg,
             base = jnp.minimum(diff, _CLIP)
         cost = jnp.where(col_valid[None], base, _PAD)
 
-        if cfg.assignment == "hungarian":
+        if cfg.assignment != "greedy":
             # exact prefix assignment over the full PAD-padded matrix
-            # (matches match_by_tag: n_solve rows, sorted-prefix masking)
+            # (matches match_by_tag: n_solve rows, sorted-prefix masking;
+            # same default polarity too — anything not 'greedy' is exact)
             n_valid = jnp.sum(mask.astype(jnp.int32), 0, keepdims=True)
             n_solve = jnp.where(do_match, n_valid, 0)
             assert M == P, "hungarian grouping expects square cost"

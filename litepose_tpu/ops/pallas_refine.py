@@ -85,7 +85,7 @@ def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K)
 def refine_argmax_pallas(n_people, prev, det, tag_t):
     """n_people (B,) i32, prev (B,P,T) f32, det (B,K,H,W) f32,
     tag_t (B,K,T,H,W) f32 -> pos (B,K,P) i32 (flat row-major argmax of
-    det - round(||tag-prev||); slots >= n_people[b] are unspecified)."""
+    det - round(||tag-prev||); slots >= n_people[b] are written as 0)."""
     B, K, H, W = det.shape
     P, T = prev.shape[1], prev.shape[2]
     kern = functools.partial(_refine_kernel, P=P, H=H, W=W, T=T, K=K)
@@ -144,9 +144,7 @@ def refine_batch(people, det, tag):
     tag_t = jnp.transpose(tag, (0, 1, 4, 2, 3))  # (B, K, T, H, W)
     pos = refine_argmax_pallas(n_people, prev, det, tag_t)  # (B, K, P)
     pos = jnp.transpose(pos, (0, 2, 1))  # (B, P, K)
-    # dead slots carry unspecified pos; clamp so the gathers stay in range
-    # (their results are masked out by `exists` below)
-    pos = jnp.clip(pos, 0, H * W - 1)
+    # dead slots carry pos 0 (in range); results are masked by `exists`
 
     # ---- gather + quarter-pixel + fill epilogue (tiny, XLA) ----
     py = pos // W

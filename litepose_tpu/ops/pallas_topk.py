@@ -38,8 +38,10 @@ NEG = -3.0e38
 HUGE_I = 2**31 - 1
 
 
-def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, K, r):
-    """Grid step (b,): NMS + exact top-M for all K joint planes.
+def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
+    """Grid step (b, j): NMS + exact top-M for a chunk of KB joint planes
+    (chunked so the VMEM block + scratch fit at any decode resolution —
+    project2image evals run at up to ~512x704 per plane).
 
     The extraction is all-vector: reductions stay as (1,1) keepdims
     vectors, "indexing" the selected row/column is one-hot masked
@@ -48,7 +50,8 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, K, r):
     dynamic-slices the selected row via a scalar index serializes on the
     ~0.7 us vector->scalar readback and runs ~1.4x slower (19 vs 13.8 ms
     at b64) despite touching less data."""
-    for k in range(K):
+    j = pl.program_id(1)
+    for k in range(KB):
         # ---- separable maxpool-equality NMS (fp32 in VMEM) ----
         x = x_ref[0, k].astype(jnp.float32)  # (H, W)
         m = x
@@ -69,7 +72,7 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, K, r):
     ciota = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     iota_sm = lax.broadcasted_iota(jnp.int32, (1, M), 1)
 
-    for k in range(K):
+    for k in range(KB):
         plane = xs[k]
         rmk = rm[k]
         vals = jnp.full((1, M), NEG, jnp.float32)
@@ -90,12 +93,15 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, K, r):
             row_new = jnp.where(coh, NEG, row)
             plane = jnp.where(roh & coh, NEG, plane)
             rmk = jnp.where(roh, jnp.max(row_new, axis=1, keepdims=True), rmk)
-        val_ref[0, k] = vals[0]
-        pos_ref[0, k] = poss[0]
+        val_ref[0, j * KB + k] = vals[0]
+        pos_ref[0, j * KB + k] = poss[0]
 
 
-@functools.partial(jax.jit, static_argnames=("max_people", "nms_kernel"))
-def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5):
+@functools.partial(
+    jax.jit, static_argnames=("max_people", "nms_kernel", "_vmem_budget")
+)
+def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
+                    _vmem_budget: int = 10 * 2**20):
     """det (B, K, H, W) (f32 or bf16) -> (val (B,K,M) f32, pos (B,K,M) i32).
 
     Equivalent to ``heatmap_nms(det, k, k//2)`` (fp32) followed by
@@ -103,32 +109,43 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5):
     """
     B, K, H, W = det.shape
     M = max_people
+    # planes per grid step: the double-buffered input block + fp32 scratch
+    # must fit VMEM at any decode resolution (project2image evals reach
+    # ~512x704 planes)
+    per_plane = H * W * 4
+    KB = max(1, min(K, _vmem_budget // (3 * per_plane)))
+    n_chunks = -(-K // KB)
+    Kp = n_chunks * KB
+    if Kp != K:  # zero-pad; padded planes' outputs are sliced off below
+        det = jnp.pad(det, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
     kern = functools.partial(
-        _nms_topk_kernel, H=H, W=W, M=M, K=K, r=nms_kernel // 2
+        _nms_topk_kernel, H=H, W=W, M=M, KB=KB, r=nms_kernel // 2
     )
-    return pl.pallas_call(
+    val, pos = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, K, H, W), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, KB, H, W), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((1, K, M), lambda b: (b, 0, 0),
+            # full-(Kp, M) blocks revisited across j; rows indexed j*KB+k
+            pl.BlockSpec((1, Kp, M), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, M), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Kp, M), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, K, M), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, Kp, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, Kp, M), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, H, W), jnp.float32),
-            pltpu.VMEM((K, H, 1), jnp.float32),
+            pltpu.VMEM((KB, H, W), jnp.float32),
+            pltpu.VMEM((KB, H, 1), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(det)
+    return val[:, :K], pos[:, :K]
 
 
 def top_k_peaks_batch(det, tag, max_people: int, nms_kernel: int = 5):

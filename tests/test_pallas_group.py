@@ -38,12 +38,15 @@ def _random_inputs(rng, B, K=14, M=30, peaks_per_joint=6, spread=2.0, T=1):
     return jnp.asarray(tag), jnp.asarray(loc), jnp.asarray(val)
 
 
-@pytest.mark.parametrize("use_val,ignore_much", [(True, True), (True, False), (False, True)])
-def test_pallas_matches_xla_scan(use_val, ignore_much):
+@pytest.mark.parametrize(
+    "use_val,ignore_much,T",
+    [(True, True, 1), (True, False, 1), (False, True, 1), (True, True, 2)],
+)
+def test_pallas_matches_xla_scan(use_val, ignore_much, T):
     rng = np.random.default_rng(0)
     B = 9
     cfg = _cfg(use_detection_val=use_val, ignore_too_much=ignore_much)
-    tag, loc, val = _random_inputs(rng, B)
+    tag, loc, val = _random_inputs(rng, B, T=T)
 
     people_p, ncl_p = match_by_tag_batch_pallas(tag, loc, val, cfg)
     people_x, ncl_x = jax.vmap(lambda t, l, v: match_by_tag(t, l, v, cfg))(tag, loc, val)

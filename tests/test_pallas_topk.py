@@ -41,6 +41,21 @@ def test_nms_topk_bf16_input():
     np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_i))
 
 
+def test_nms_topk_chunked_planes():
+    """Plane-chunked grid (big-resolution VMEM path): force KB < K with a
+    tiny budget and check parity incl. the zero-padded tail chunk."""
+    rng = np.random.default_rng(3)
+    B, K, H, W, M = 2, 5, 32, 48, 7
+    det = rng.standard_normal((B, K, H, W)).astype(np.float32)
+    x = jnp.asarray(det)
+    # budget forces KB=2 -> 3 chunks, Kp=6 (one padded plane)
+    val, pos = nms_topk_pallas(x, M, 5, _vmem_budget=3 * 32 * 48 * 4 * 2)
+    sup = heatmap_nms(x, 5, 2).reshape(B, K, H * W)
+    want_v, want_i = lax.top_k(sup, M)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_i))
+
+
 def test_top_k_peaks_batch_matches_vmapped():
     rng = np.random.default_rng(2)
     B, K, H, W, T, M = 2, 4, 40, 56, 2, 8
