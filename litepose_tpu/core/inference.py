@@ -51,6 +51,12 @@ class InferenceFlags(NamedTuple):
     # bf16 (halves the HBM traffic of the decode glue). Eval keeps fp32 for
     # reference-parity NMS tie behavior.
     decode_bf16: bool = False
+    # flip-test execution strategy: "concat" runs ONE forward over the
+    # [x; flip(x)] 2B batch (better utilization of one compiled program —
+    # convs are batch-parallel so results are identical to two passes);
+    # "twopass" mirrors the reference's two sequential forwards
+    # (/root/reference/lib/core/inference.py:108-146).
+    flip_mode: str = "concat"
 
     @staticmethod
     def from_config(cfg, flip_index: Sequence[int]) -> "InferenceFlags":
@@ -121,12 +127,20 @@ def make_infer_fn(
 
     def infer(params, state, images_u8):
         x = normalize_images(images_u8)
-        outputs = apply_fn(params, state, x)
+        if flags.flip_test and flags.flip_mode == "concat":
+            b = x.shape[0]
+            out2 = apply_fn(params, state, jnp.concatenate([x, x[:, :, ::-1, :]], 0))
+            outputs = [o[:b] for o in out2]
+            outputs_f = [o[b:] for o in out2]
+        else:
+            outputs = apply_fn(params, state, x)
+            outputs_f = (
+                apply_fn(params, state, x[:, :, ::-1, :]) if flags.flip_test else None
+            )
         heat, tags = _collect(outputs, flags)
 
         if flags.flip_test:
             fidx = jnp.asarray(flags.flip_index, jnp.int32)
-            outputs_f = apply_fn(params, state, x[:, :, ::-1, :])
             outputs_f = [o[:, :, ::-1, :] for o in outputs_f]
             heat_f, tags_f = _collect(outputs_f, flags)
             heat_f = jnp.take(heat_f, fidx, axis=3)

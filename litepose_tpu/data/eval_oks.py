@@ -252,17 +252,19 @@ class KeypointEvaluator:
             stats["AP (M)"] = _ap(med)
             stats["AP (L)"] = _ap(lrg)
         else:  # crowdpose: AP by image crowdIndex buckets
-            def ids_in(lo, hi):
-                sel = []
-                for iid in img_ids:
-                    ci = self.gt.image_info(iid).get("crowdIndex", 0.0)
-                    if lo <= ci <= hi:
-                        sel.append(iid)
-                return sel
+            # crowdposetools convention (CrowdPoseDataset.py:288-293): the
+            # per-image evals are reused; easy/medium/hard re-accumulate over
+            # image subsets by crowdIndex — easy ci <= 0.1,
+            # medium 0.1 < ci < 0.8, hard ci >= 0.8 (non-overlapping;
+            # validated against tests/oracle_cocoeval.oracle_evaluate_crowdpose)
+            def ci(iid):
+                return self.gt.image_info(iid).get("crowdIndex", 0.0)
 
-            for name, (lo, hi) in (
-                ("AP (E)", (0.0, 0.1)), ("AP (M)", (0.1, 0.8)), ("AP (H)", (0.8, 1.0))
+            for name, pred in (
+                ("AP (E)", lambda c: c <= 0.1),
+                ("AP (M)", lambda c: 0.1 < c < 0.8),
+                ("AP (H)", lambda c: c >= 0.8),
             ):
-                acc = _accumulate(eval_ids(ids_in(lo, hi)))
+                acc = _accumulate(eval_ids([i for i in img_ids if pred(ci(i))]))
                 stats[name] = _ap(acc)
         return stats

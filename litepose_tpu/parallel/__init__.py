@@ -1,3 +1,17 @@
-from .mesh import make_mesh, shard_batch_spec, replicate_spec, shard_pytree
+from .mesh import (
+    global_batch,
+    make_mesh,
+    replicate_global,
+    replicate_spec,
+    shard_batch_spec,
+    shard_pytree,
+)
 
-__all__ = ["make_mesh", "shard_batch_spec", "replicate_spec", "shard_pytree"]
+__all__ = [
+    "global_batch",
+    "make_mesh",
+    "replicate_global",
+    "replicate_spec",
+    "shard_batch_spec",
+    "shard_pytree",
+]

@@ -1,139 +1,8 @@
 """Synthetic 4-image COCO-format fixture dataset for e2e tests.
 
-Generates stick-figure images + a COCO-format annotation dict with
-keypoints, bboxes, areas, polygon segmentations, one crowd region (RLE) and
-one keypoint-less instance, for both COCO (17 joints) and CrowdPose
-(14 joints) layouts.
+The generator now lives in the package (``litepose_tpu.data.synthetic``) so
+bench/demo tooling can use it too; this module keeps the historical test
+import path.
 """
 
-import os
-
-import numpy as np
-
-
-def _person_keypoints(rng, cx, cy, size, num_joints):
-    """Plausible joint layout around a center; all visible."""
-    kps = []
-    for j in range(num_joints):
-        ang = 2 * np.pi * j / num_joints
-        r = size * (0.2 + 0.3 * rng.random())
-        x = cx + r * np.cos(ang)
-        y = cy + r * np.sin(ang)
-        kps.extend([float(x), float(y), 2])
-    return kps
-
-
-def _rle_encode(mask):
-    """Column-major RLE (uncompressed list form) of a binary mask."""
-    flat = np.asarray(mask, np.uint8).T.reshape(-1)
-    counts = []
-    val = 0
-    run = 0
-    for v in flat:
-        if v == val:
-            run += 1
-        else:
-            counts.append(int(run))
-            val = int(v)
-            run = 1
-    counts.append(int(run))
-    return counts
-
-
-def make_fixture(tmpdir, num_joints=14, n_images=4, h=160, w=200, seed=0):
-    """Write images to tmpdir; return (ann_file_path, image_dir)."""
-    import cv2
-
-    rng = np.random.default_rng(seed)
-    os.makedirs(tmpdir, exist_ok=True)
-    images, annotations = [], []
-    ann_id = 1
-    for i in range(n_images):
-        img = (rng.uniform(0, 60, (h, w, 3))).astype(np.uint8)
-        file_name = f"img_{i:06d}.jpg"
-        n_people = 1 + i % 3
-        for p in range(n_people):
-            cx = rng.uniform(40, w - 40)
-            cy = rng.uniform(40, h - 40)
-            size = rng.uniform(30, 60)
-            kps = _person_keypoints(rng, cx, cy, size, num_joints)
-            pts = np.array(kps).reshape(-1, 3)
-            # draw the "person" so images aren't pure noise
-            for x, y, _ in pts:
-                cv2.circle(img, (int(x), int(y)), 3, (200, 180, 160), -1)
-            x0, y0 = pts[:, 0].min(), pts[:, 1].min()
-            x1, y1 = pts[:, 0].max(), pts[:, 1].max()
-            bbox = [float(x0), float(y0), float(x1 - x0), float(y1 - y0)]
-            poly = [x0, y0, x1, y0, x1, y1, x0, y1]
-            annotations.append(
-                {
-                    "id": ann_id,
-                    "image_id": i,
-                    "category_id": 1,
-                    "keypoints": kps,
-                    "num_keypoints": num_joints,
-                    "bbox": bbox,
-                    "area": float(bbox[2] * bbox[3]),
-                    "iscrowd": 0,
-                    "segmentation": [[float(v) for v in poly]],
-                }
-            )
-            ann_id += 1
-        if i == 1:
-            # a crowd region (RLE) exercising the ignore-mask path
-            m = np.zeros((h, w), np.uint8)
-            m[10:40, 10:60] = 1
-            annotations.append(
-                {
-                    "id": ann_id,
-                    "image_id": i,
-                    "category_id": 1,
-                    "keypoints": [0] * (num_joints * 3),
-                    "num_keypoints": 0,
-                    "bbox": [10, 10, 50, 30],
-                    "area": 1500.0,
-                    "iscrowd": 1,
-                    "segmentation": {"size": [h, w], "counts": _rle_encode(m)},
-                }
-            )
-            ann_id += 1
-        if i == 2:
-            # keypoint-less instance (polygon) — also masked out
-            annotations.append(
-                {
-                    "id": ann_id,
-                    "image_id": i,
-                    "category_id": 1,
-                    "keypoints": [0] * (num_joints * 3),
-                    "num_keypoints": 0,
-                    "bbox": [100, 100, 40, 30],
-                    "area": 1200.0,
-                    "iscrowd": 0,
-                    "segmentation": [[100, 100, 140, 100, 140, 130, 100, 130]],
-                }
-            )
-            ann_id += 1
-        cv2.imwrite(os.path.join(tmpdir, file_name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-        images.append(
-            {
-                "id": i,
-                "file_name": file_name,
-                "height": h,
-                "width": w,
-                "crowdIndex": float(i) / n_images,
-            }
-        )
-
-    ann = {
-        "images": images,
-        "annotations": annotations,
-        "categories": [
-            {"id": 1, "name": "person", "keypoints": [str(j) for j in range(num_joints)]}
-        ],
-    }
-    import json
-
-    ann_path = os.path.join(tmpdir, "annotations.json")
-    with open(ann_path, "w") as f:
-        json.dump(ann, f)
-    return ann_path, tmpdir
+from litepose_tpu.data.synthetic import make_fixture  # noqa: F401

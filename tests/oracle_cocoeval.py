@@ -215,3 +215,69 @@ def oracle_evaluate(
         "AR .5": ar(accs["all"], 0.5),
         "AR .75": ar(accs["all"], 0.75),
     }
+
+
+def oracle_evaluate_crowdpose(
+    gts_by_img: Dict[int, List[dict]],
+    dts_by_img: Dict[int, List[dict]],
+    sigmas: Sequence[float],
+    crowd_index: Dict[int, float],
+    max_dets: int = 20,
+) -> Dict[str, float]:
+    """crowdposetools.cocoeval keypoint pipeline (transcription).
+
+    Differences from pycocotools COCOeval (the reference consumes this via
+    ``/root/reference/lib/dataset/CrowdPoseDataset.py:281-296``):
+      * every area bucket is the full range [0, 1e10] — per-image evals are
+        computed ONCE with no area-based gt/dt ignores;
+      * the easy/medium/hard stats re-accumulate the same per-image evals
+        over image subsets selected by the annotation file's per-image
+        ``crowdIndex``: easy ci <= 0.1, medium 0.1 < ci < 0.8,
+        hard ci >= 0.8 (the CrowdPose paper's buckets; boundary values are
+        measure-zero in the real dataset);
+      * stats order: the reference reads indexes [0,1,2,5,6,7,8,9,10] as
+        AP, AP.5, AP.75, AR, AR.5, AR.75, AP(E), AP(M), AP(H).
+    """
+    p = OracleParams(np.asarray(sigmas), max_dets)
+    k = len(p.sigmas)
+    img_ids = sorted(gts_by_img.keys())
+    dts_by_img = {
+        i: [_load_res_fields(d, k) for d in dts_by_img.get(i, [])] for i in img_ids
+    }
+    full = (0.0, 1e5**2)
+    evals = {i: _evaluate_img(gts_by_img[i], dts_by_img[i], full, p) for i in img_ids}
+
+    def acc_over(ids):
+        return _accumulate([evals[i] for i in ids], p)
+
+    def ap(acc, thr=None):
+        pr = acc["precision"]
+        if thr is not None:
+            t = int(np.where(np.isclose(p.iouThrs, thr))[0][0])
+            pr = pr[t]
+        valid = pr[pr > -1]
+        return float(np.mean(valid)) if valid.size else -1.0
+
+    def ar(acc, thr=None):
+        rc = acc["recall"]
+        if thr is not None:
+            t = int(np.where(np.isclose(p.iouThrs, thr))[0][0])
+            rc = rc[t : t + 1]
+        valid = rc[rc > -1]
+        return float(np.mean(valid)) if valid.size else -1.0
+
+    main = acc_over(img_ids)
+    easy = acc_over([i for i in img_ids if crowd_index[i] <= 0.1])
+    med = acc_over([i for i in img_ids if 0.1 < crowd_index[i] < 0.8])
+    hard = acc_over([i for i in img_ids if crowd_index[i] >= 0.8])
+    return {
+        "AP": ap(main),
+        "AP .5": ap(main, 0.5),
+        "AP .75": ap(main, 0.75),
+        "AR": ar(main),
+        "AR .5": ar(main, 0.5),
+        "AR .75": ar(main, 0.75),
+        "AP (E)": ap(easy),
+        "AP (M)": ap(med),
+        "AP (H)": ap(hard),
+    }

@@ -129,7 +129,11 @@ def harness():
         ref_results[iid] = _to_results(iid, finals, [float(s) for s in scores])
 
     gt = FakeGT(_gt_from_results(ref_results))
-    return engine, group, scenes, ref_results, gt
+    return engine, group, scenes, ref_results, gt, pipe, parser
+
+
+def _unpack(harness):
+    return harness[:5]
 
 
 def _run_engine(engine, scenes):
@@ -147,7 +151,7 @@ def _ap(gt, results_by_img):
 
 
 def test_eval_mode_matches_reference_keypoints_and_ap(harness):
-    engine, group, scenes, ref_results, gt = harness
+    engine, group, scenes, ref_results, gt = _unpack(harness)
     ours = _run_engine(engine, scenes)
 
     total, mismatched = 0, 0
@@ -179,7 +183,7 @@ def test_eval_mode_matches_reference_keypoints_and_ap(harness):
 
 def test_serving_approximations_quantified(harness):
     """AP deltas for the serving-mode shortcuts, measured not anecdotal."""
-    engine, group, scenes, ref_results, gt = harness
+    engine, group, scenes, ref_results, gt = _unpack(harness)
     ap_ref = _ap(gt, ref_results)
 
     def variant(assignment, topk):
@@ -199,3 +203,61 @@ def test_serving_approximations_quantified(harness):
     # serving shortcuts must stay within a small, *measured* envelope
     assert ap_greedy >= ap_ref - 0.05
     assert ap_approx >= ap_ref - 0.05
+
+
+MS_SCALES = (0.5, 1.0, 2.0)
+N_MS_SCENES = 10
+
+
+def test_multi_scale_matches_reference_keypoints_and_ap(harness):
+    """Multi-scale (0.5, 1.0, 2.0) end-to-end parity vs the
+    reference-composed multi-scale pipeline (/root/reference/valid.py:207-225
+    + lib/core/inference.py:176-208): keypoints match per person and AP is
+    identical through the same evaluator."""
+    import torch
+
+    from utils import transforms as ref_t  # reference module
+
+    engine, group, scenes, _, _, pipe, parser = harness
+    sub = scenes[:N_MS_SCENES]
+
+    ref_results = {}
+    for iid, img in sub:
+        heat, tag, center, scale = pipe.heat_tag_multi(img, list(MS_SCALES))
+        grouped, rscores = parser.parse(
+            torch.from_numpy(heat), torch.from_numpy(tag),
+            adjust=True, refine=True,
+        )
+        finals = ref_t.get_final_preds(
+            grouped, center, scale, [heat.shape[3], heat.shape[2]]
+        )
+        ref_results[iid] = _to_results(iid, finals, [float(s) for s in rscores])
+
+    ms_engine = PoseEngine(
+        engine.apply_fn, engine.params, engine.state, engine.flags, group,
+        EngineConfig(input_size=INPUT_SIZE, scale_factors=MS_SCALES,
+                     project2image=True),
+    )
+    ours = _run_engine(ms_engine, sub)
+
+    total, mismatched = 0, 0
+    for iid, _ in sub:
+        r, o = ref_results[iid], ours[iid]
+        assert len(r) == len(o), f"img {iid}: {len(o)} people vs ref {len(r)}"
+        for pr, po in zip(
+            sorted(r, key=lambda d: -d["score"]),
+            sorted(o, key=lambda d: -d["score"]),
+        ):
+            total += 1
+            if not np.allclose(pr["keypoints"], po["keypoints"], atol=1e-2):
+                mismatched += 1
+    assert total > 5, "degenerate multi-scale harness"
+    print(f"\nmulti-scale keypoint agreement: {total - mismatched}/{total}")
+    assert mismatched / total <= 0.05, f"{mismatched}/{total} people diverge"
+
+    gt = FakeGT(_gt_from_results(ref_results))
+    ap_ref = _ap(gt, ref_results)
+    ap_ours = _ap(gt, ours)
+    print(f"multi-scale AP ref-pipeline={ap_ref:.4f} ours={ap_ours:.4f}")
+    assert ap_ref > 0.5
+    assert abs(ap_ours - ap_ref) <= 0.005

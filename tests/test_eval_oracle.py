@@ -13,7 +13,7 @@ import pytest
 
 from litepose_tpu.data.eval_oks import COCO_SIGMAS, CROWDPOSE_SIGMAS, KeypointEvaluator
 
-from oracle_cocoeval import oracle_evaluate
+from oracle_cocoeval import oracle_evaluate, oracle_evaluate_crowdpose
 
 
 class FakeGT:
@@ -117,3 +117,32 @@ def test_crowdpose_main_stats_match_oracle():
     ref = oracle_evaluate(gts_by_img, dts_by_img, CROWDPOSE_SIGMAS)
     for key in ("AP", "AP .5", "AP .75", "AR"):
         assert ours[key] == pytest.approx(ref[key], abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_crowdpose_crowdindex_buckets_match_oracle(seed):
+    """All CrowdPose summary stats — incl. AP(E)/AP(M)/AP(H) crowdIndex
+    buckets — match the crowdposetools transcription
+    (reference: /root/reference/lib/dataset/CrowdPoseDataset.py:288-293).
+    crowdIndex values deliberately include the 0.1/0.8 boundaries so the
+    bucket convention is pinned."""
+    rng = np.random.default_rng(1000 + seed)
+    k = len(CROWDPOSE_SIGMAS)
+    for rep in range(4):
+        n_imgs = int(rng.integers(2, 8))
+        gts_by_img, dts_by_img, results = _rand_scene(rng, k, n_imgs)
+        cis = {
+            i: float(rng.choice([0.0, 0.05, 0.1, 0.3, 0.65, 0.8, 0.9, 1.0]))
+            for i in gts_by_img
+        }
+        infos = {i: {"crowdIndex": cis[i]} for i in gts_by_img}
+        ours = KeypointEvaluator(
+            FakeGT(gts_by_img, infos), style="crowdpose"
+        ).evaluate(results)
+        ref = oracle_evaluate_crowdpose(gts_by_img, dts_by_img, CROWDPOSE_SIGMAS, cis)
+        for key in ("AP", "AP .5", "AP .75", "AR", "AR .5", "AR .75",
+                    "AP (E)", "AP (M)", "AP (H)"):
+            assert ours[key] == pytest.approx(ref[key], abs=1e-12), (
+                f"seed={seed} rep={rep} stat {key}: ours={ours[key]} "
+                f"oracle={ref[key]}"
+            )

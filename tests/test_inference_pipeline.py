@@ -96,13 +96,53 @@ class _RefPipeline:
         self.project2image = project2image
 
     def heat_tag(self, image_u8):
+        heat, tag, center, scale = self.heat_tag_multi(image_u8, [1])
+        return heat, tag, center, scale
+
+    def heat_tag_multi(self, image_u8, scale_factors):
+        """The reference multi-scale eval loop (valid.py:200-225): per scale
+        resize_align_multi_scale -> get_multi_stage_outputs (flip +
+        project2image) -> aggregate_results; heatmaps averaged over scales,
+        tags kept at scale 1 only; center/scale from the LAST (smallest)
+        scale iteration."""
         import torch
         from types import SimpleNamespace
 
         from core import inference as ref_inf
         from utils import transforms as ref_t
 
-        cfg = SimpleNamespace(
+        cfg = self._cfg(scale_factors)
+        min_scale = min(scale_factors)
+        base_size, _, _ = ref_t.get_multi_scale_size(
+            image_u8, self.input_size, 1.0, min_scale
+        )
+        mean = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
+        std = torch.tensor([0.229, 0.224, 0.225])[:, None, None]
+        final_heatmaps = None
+        tags_list = []
+        with torch.no_grad():
+            for s in sorted(scale_factors, reverse=True):
+                image_resized, center, scale = ref_t.resize_align_multi_scale(
+                    image_u8, self.input_size, s, min_scale
+                )
+                x = torch.from_numpy(
+                    image_resized.astype(np.float32).transpose(2, 0, 1) / 255.0
+                )
+                x = ((x - mean) / std).unsqueeze(0)
+                outputs, heatmaps, tags = ref_inf.get_multi_stage_outputs(
+                    cfg, self.model, x, True, self.project2image, base_size
+                )
+                final_heatmaps, tags_list = ref_inf.aggregate_results(
+                    cfg, s, final_heatmaps, tags_list, heatmaps, tags
+                )
+            final_heatmaps = final_heatmaps / float(len(scale_factors))
+            tag = torch.cat(tags_list, dim=4)
+        return final_heatmaps.numpy(), tag.numpy(), center, scale
+
+    def _cfg(self, scale_factors):
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
             DATASET=SimpleNamespace(
                 NUM_JOINTS=self.num_joints, DATASET="crowd_pose_kpt", WITH_CENTER=False
             ),
@@ -112,28 +152,11 @@ class _RefPipeline:
             TEST=SimpleNamespace(
                 WITH_HEATMAPS=[True, True], WITH_AE=[True, False],
                 FLIP_TEST=True, PROJECT2IMAGE=self.project2image,
-                SCALE_FACTOR=[1],
+                SCALE_FACTOR=list(scale_factors),
                 IGNORE_CENTER=True,
             ),
             MODEL=SimpleNamespace(TAG_PER_JOINT=True),
         )
-        base_size, center, scale = ref_t.get_multi_scale_size(image_u8, self.input_size, 1.0, 1.0)
-        image_resized, center, scale = ref_t.resize_align_multi_scale(
-            image_u8, self.input_size, 1.0, 1.0
-        )
-        x = torch.from_numpy(image_resized.astype(np.float32).transpose(2, 0, 1) / 255.0)
-        mean = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
-        std = torch.tensor([0.229, 0.224, 0.225])[:, None, None]
-        x = ((x - mean) / std).unsqueeze(0)
-        with torch.no_grad():
-            outputs, heatmaps, tags = ref_inf.get_multi_stage_outputs(
-                cfg, self.model, x, True, self.project2image, base_size
-            )
-            final_heatmaps, tags_list = ref_inf.aggregate_results(
-                cfg, 1.0, None, [], heatmaps, tags
-            )
-            tag = torch.cat(tags_list, dim=4)
-        return final_heatmaps.numpy(), tag.numpy(), center, scale
 
 
 def _build_pair(arch_name="search-XS", input_size=192, num_joints=14):

@@ -9,6 +9,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# interpret-mode Pallas parity is minutes-slow on the 1-core CPU host;
+# tests/test_pallas_smoke.py keeps a fast per-kernel subset in the default run
+pytestmark = pytest.mark.slow
+
 from litepose_tpu.ops.group import StaticGroupCfg, match_by_tag
 from litepose_tpu.ops.group_ref import GroupParams
 from litepose_tpu.ops.pallas_group import match_by_tag_batch_pallas

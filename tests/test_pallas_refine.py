@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# interpret-mode Pallas parity is minutes-slow on the 1-core CPU host;
+# tests/test_pallas_smoke.py keeps a fast per-kernel subset in the default run
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--ann-file", default=None, help="override annotation JSON path")
     p.add_argument("--image-dir", default=None, help="override image directory")
     p.add_argument("--multi-host", action="store_true", help="call jax.distributed.initialize()")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (default: cluster auto-detect)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--save-freq", type=int, default=1, help="checkpoint every N epochs")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps of each epoch")
@@ -43,7 +47,15 @@ def main():
     if args.multi_host:
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            # TPU pod / SLURM / k8s: everything auto-detected
+            jax.distributed.initialize()
 
     import jax
     import jax.numpy as jnp
@@ -55,7 +67,9 @@ def main():
     from litepose_tpu.data.dataset import PoseDataset, TrainPipeline, make_batch_iterator
     from litepose_tpu.models import get_model
     from litepose_tpu.models.litepose import ModelSpec, apply_litepose
-    from litepose_tpu.parallel import make_mesh, replicate_spec, shard_batch_spec, shard_pytree
+    from litepose_tpu.parallel import (
+        global_batch, make_mesh, replicate_global, replicate_spec, shard_batch_spec,
+    )
     from litepose_tpu.train import optim
     from litepose_tpu.train.checkpoint import auto_resume, init_train_state, save_checkpoint
     from litepose_tpu.train.trainer import StepFns, train_epoch
@@ -157,9 +171,11 @@ def main():
     mesh = make_mesh()
     rspec = replicate_spec(mesh)
     bspec = shard_batch_spec(mesh)
+    # params/opt-state are host-identical (same PRNG seed on every process);
+    # replicate them as global arrays over the full mesh
     ts = init_train_state(
-        shard_pytree(params, rspec), shard_pytree(state, rspec),
-        shard_pytree(tx.init(params), rspec),
+        replicate_global(params, rspec), replicate_global(state, rspec),
+        replicate_global(tx.init(params), rspec),
     )
     if cfg.AUTO_RESUME:
         ts = auto_resume(out_dir, ts)
@@ -175,13 +191,10 @@ def main():
             return arch_to_mask_desc(arch_manager.random_sample(rng), arch_manager)
 
     def device_batches(it):
+        # each process feeds its local rows; global_batch stitches the
+        # host-sharded iterator output into one mesh-wide array
         for b in it:
-            yield {
-                "images": jax.device_put(b["images"], bspec),
-                "heatmaps": [jax.device_put(x, bspec) for x in b["heatmaps"]],
-                "masks": [jax.device_put(x, bspec) for x in b["masks"]],
-                "joints": [jax.device_put(x, bspec) for x in b["joints"]],
-            }
+            yield global_batch(b, bspec)
 
     start_epoch = int(ts.epoch)
     for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
