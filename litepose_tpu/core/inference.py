@@ -29,6 +29,7 @@ from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -74,13 +75,18 @@ class InferenceFlags(NamedTuple):
         )
 
 
-def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
-    """uint8 RGB NHWC -> ImageNet-normalized float32 (reference ToTensor +
-    Normalize, /root/reference/lib/dataset/transforms/build.py:78-82)."""
-    x = images.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    return (x - mean) / std
+def normalize_images(images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 RGB NHWC -> ImageNet-normalized float (reference ToTensor +
+    Normalize, /root/reference/lib/dataset/transforms/build.py:78-82).
+
+    dtype: serving passes bf16 (the model's first conv computes in bf16
+    anyway, so materializing the normalized image in fp32 is a wasted
+    double-width HBM pass); eval/train keep fp32."""
+    scale = (1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float64))).astype(np.float32)
+    bias = (-np.asarray(IMAGENET_MEAN, np.float64)
+            / np.asarray(IMAGENET_STD, np.float64)).astype(np.float32)
+    x = images.astype(dtype) * jnp.asarray(scale, dtype) + jnp.asarray(bias, dtype)
+    return x
 
 
 def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
@@ -126,7 +132,9 @@ def make_infer_fn(
     """
 
     def infer(params, state, images_u8):
-        x = normalize_images(images_u8)
+        x = normalize_images(
+            images_u8, jnp.bfloat16 if flags.decode_bf16 else jnp.float32
+        )
         if flags.flip_test and flags.flip_mode == "concat":
             b = x.shape[0]
             out2 = apply_fn(params, state, jnp.concatenate([x, x[:, :, ::-1, :]], 0))

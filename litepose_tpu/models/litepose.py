@@ -159,11 +159,17 @@ def apply_litepose(
     train: bool = False,
     with_skips: bool = True,
     policy: Policy = DEFAULT_POLICY,
+    out_dtype=jnp.float32,
 ):
     """Forward pass. ``x`` is NHWC in [0,1]-normalized float; returns
     (outputs, new_state) where outputs is a list of NHWC maps at
     (img/4, img/2) resolution (reference forward,
-    ``/root/reference/lib/models/pose_mobilenet.py:137-156``)."""
+    ``/root/reference/lib/models/pose_mobilenet.py:137-156``).
+
+    out_dtype: stage outputs are emitted in this dtype.  fp32 (default)
+    matches the reference/eval numerics; the serving path passes bf16 so
+    the decode glue never materializes fp32 maps (saves two full HBM passes
+    over the img/2 head output per batch)."""
     ns: dict = {"first": {}, "stage": [], "deconv_bn": [], "final_refined": []}
     if with_skips:
         ns["final_raw"] = []
@@ -211,6 +217,6 @@ def apply_litepose(
                 )
                 ns["final_raw"].append(nw)
                 out = out + out_raw
-            final_outputs.append(out.astype(jnp.float32))
+            final_outputs.append(out.astype(out_dtype))
 
     return final_outputs, ns

@@ -183,6 +183,7 @@ def test_device_parse_empty_image():
     assert np.all(np.asarray(people) == 0)
 
 
+@pytest.mark.slow  # ~43s; the 14-joint device-parse parity stays in the fast set
 def test_device_parse_17_joints_coco_order():
     """COCO joint count exercises the non-trivial grouping order."""
     from litepose_tpu.ops.group import StaticGroupCfg, parse_batch

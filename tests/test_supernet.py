@@ -121,6 +121,7 @@ def test_kernel_elasticity_transform():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # ~60s full-step compile; covered by the driver/slow suite
 def test_supernet_registry_and_train_step():
     from litepose_tpu.config import default_config
     from litepose_tpu.core.losses import LossConfig

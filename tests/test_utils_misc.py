@@ -81,6 +81,7 @@ def test_graft_entry_single_device():
     assert np.isfinite(np.asarray(heat)).all()
 
 
+@pytest.mark.slow  # ~60s full-step compile; covered by the driver/slow suite
 def test_graft_entry_multichip():
     import sys
 

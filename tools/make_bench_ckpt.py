@@ -74,7 +74,9 @@ def main():
                 cached.append(jax.device_put(b))
         print(f"cached {len(cached)} host batches", flush=True)
 
-    tx = optim.make_optimizer("adam", optim.multistep_lr(1e-3, [10**9], 0.1, 10**8))
+    # constant lr (milestone far beyond --steps; huge values overflow int32
+    # inside optax's piecewise schedule)
+    tx = optim.make_optimizer("adam", optim.multistep_lr(1e-3, [10**6], 0.1, 100))
     loss_cfg = LossConfig(num_joints=14)
 
     def apply_fn(p, s, x):
