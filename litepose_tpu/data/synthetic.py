@@ -34,6 +34,29 @@ def _person_keypoints(rng, cx, cy, size, num_joints):
     return kps
 
 
+def _joint_color(j: int) -> Tuple[int, int, int]:
+    """Distinct, bright RGB color per joint index.
+
+    Joints must be visually distinguishable: if every joint renders as the
+    same mark, a trained model fires each joint channel on *every* mark
+    (people x joints candidate peaks), which saturates the decoder and makes
+    bench decode load unrealistic."""
+    return (80 + (j * 97) % 176, 80 + (j * 57 + 41) % 176, 80 + (j * 151 + 83) % 176)
+
+
+def _draw_person(img, pts):
+    """Render one person: skeleton lines + per-joint colored dots."""
+    import cv2
+
+    n = len(pts)
+    for j in range(n):
+        x0, y0 = int(pts[j][0]), int(pts[j][1])
+        x1, y1 = int(pts[(j + 1) % n][0]), int(pts[(j + 1) % n][1])
+        cv2.line(img, (x0, y0), (x1, y1), (110, 110, 110), 1)
+    for j, (x, y, _) in enumerate(pts):
+        cv2.circle(img, (int(x), int(y)), 3, _joint_color(j), -1)
+
+
 def _rle_encode(mask):
     """Column-major RLE (uncompressed list form) of a binary mask."""
     flat = np.asarray(mask, np.uint8).T.reshape(-1)
@@ -52,13 +75,17 @@ def _rle_encode(mask):
 
 
 def make_fixture(tmpdir, num_joints=14, n_images=4, h=160, w=200, seed=0,
-                 with_edge_cases=True):
+                 with_edge_cases=True, n_people_range=None, size_range=None):
     """Write a synthetic COCO-format dataset (images + annotations.json) to
     ``tmpdir``; return (ann_file_path, image_dir).
 
     with_edge_cases: include one crowd-RLE region and one keypoint-less
     instance (exercises the ignore-mask path); disable for clean
     training-only sets.
+    n_people_range/size_range: (lo, hi) overrides for scene density and
+    person size — ``tools/make_bench_ckpt.py`` matches them to
+    ``bench_scene_batch`` statistics so the bench checkpoint's peaks are
+    in-distribution (defaults preserve the historical test fixtures).
     """
     import cv2
 
@@ -69,16 +96,18 @@ def make_fixture(tmpdir, num_joints=14, n_images=4, h=160, w=200, seed=0,
     for i in range(n_images):
         img = (rng.uniform(0, 60, (h, w, 3))).astype(np.uint8)
         file_name = f"img_{i:06d}.jpg"
-        n_people = 1 + i % 3
+        if n_people_range is not None:
+            n_people = int(rng.integers(n_people_range[0], n_people_range[1] + 1))
+        else:
+            n_people = 1 + i % 3
         for p in range(n_people):
             cx = rng.uniform(40, w - 40)
             cy = rng.uniform(40, h - 40)
-            size = rng.uniform(30, 60)
+            size = rng.uniform(*(size_range or (30, 60)))
             kps = _person_keypoints(rng, cx, cy, size, num_joints)
             pts = np.array(kps).reshape(-1, 3)
             # draw the "person" so images aren't pure noise
-            for x, y, _ in pts:
-                cv2.circle(img, (int(x), int(y)), 3, (200, 180, 160), -1)
+            _draw_person(img, pts)
             x0, y0 = pts[:, 0].min(), pts[:, 1].min()
             x1, y1 = pts[:, 0].max(), pts[:, 1].max()
             bbox = [float(x0), float(y0), float(x1 - x0), float(y1 - y0)]
@@ -166,15 +195,17 @@ def bench_scene_batch(batch: int, size: int, num_joints: int = 14,
     out = np.empty((batch, size, size, 3), np.uint8)
     for b in range(batch):
         img = rng.uniform(0, 60, (size, size, 3)).astype(np.uint8)
-        n_people = int(rng.integers(2, 8))
+        # density/size matched to the make_bench_ckpt training fixture
+        # (scaled by size/512): decode load must be in-distribution for the
+        # trained checkpoint or peak amplitudes collapse
+        n_people = int(rng.integers(2, 7))
         for _ in range(n_people):
             cx = rng.uniform(40, size - 40)
             cy = rng.uniform(40, size - 40)
-            psize = rng.uniform(40, 120)
+            psize = rng.uniform(30, 100) * size / 512.0
             kps = np.asarray(
                 _person_keypoints(rng, cx, cy, psize, num_joints)
             ).reshape(-1, 3)
-            for x, y, _ in kps:
-                cv2.circle(img, (int(x), int(y)), 3, (200, 180, 160), -1)
+            _draw_person(img, kps)
         out[b] = img
     return out

@@ -13,7 +13,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, cwd, timeout=560):
+def _run(args, cwd, timeout=1200):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -55,3 +55,40 @@ def test_train_then_valid_cli(tmp_path):
     # results json written
     res = os.path.join(out_dir, "crowd_pose_kpt/pose_mobilenet/mobile/keypoint_results.json")
     assert os.path.exists(res)
+
+
+@pytest.mark.slow
+def test_make_bench_ckpt_cli(tmp_path):
+    """tools/make_bench_ckpt.py produces a loadable checkpoint (tiny run)."""
+    out = str(tmp_path / "ckpt.msgpack")
+    r = _run(
+        [os.path.join(REPO, "tools/make_bench_ckpt.py"),
+         "--arch", "auto-XS", "--steps", "2", "--batch", "2",
+         "--images", "4", "--out", out],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+    import jax
+
+    from litepose_tpu.arch.zoo import get_arch
+    from litepose_tpu.models.litepose import ModelSpec, init_litepose
+    from litepose_tpu.train.checkpoint import load_params
+
+    arch = get_arch("auto-XS")
+    params, state = init_litepose(jax.random.PRNGKey(0), ModelSpec(num_joints=14), arch)
+    load_params(out, params, state)  # raises on any pytree/shape mismatch
+
+
+@pytest.mark.slow
+def test_profile_model_cli(tmp_path):
+    """tools/profile_model.py runs its forward section on CPU (serve is
+    skipped: the Pallas decode kernels interpret-run in minutes off-TPU)."""
+    r = _run(
+        [os.path.join(REPO, "tools/profile_model.py"),
+         "--arch", "auto-XS", "--batch", "2", "--forward-only"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "forward (eval, bf16)" in r.stdout
