@@ -92,11 +92,23 @@ def conv(
     groups: int = 1,
     policy: Policy = DEFAULT_POLICY,
     padding: Optional[int] = None,
+    isolate: bool = False,
 ) -> jnp.ndarray:
-    """NHWC conv with torch 'same-ish' padding k//2 (default)."""
+    """NHWC conv with torch 'same-ish' padding k//2 (default).
+
+    isolate: wrap the input in ``lax.optimization_barrier`` so this conv
+    cannot pull upstream ops into its operand fusion.  With real (non-init)
+    BN/bias constants, XLA TPU sometimes fuses a whole upstream convolution
+    into a depthwise conv's operand fusion and recomputes it per output
+    tile — measured 6.4x on a stage-0 LitePose block (12.1 -> 2.3 ms/b64,
+    see PERF_NOTES.md round-3 "identity-BN artifact").  The barrier is a
+    semantic no-op.
+    """
     w = p["w"]
     k = w.shape[0]
     pad = k // 2 if padding is None else padding
+    if isolate:
+        x = lax.optimization_barrier(x)
     y = lax.conv_general_dilated(
         x.astype(policy.compute_dtype),
         w.astype(policy.compute_dtype),
@@ -177,7 +189,7 @@ def batch_norm(
 
 
 def conv_bn(pc, pb, sb, x, stride=1, groups=1, train=False,
-            policy=DEFAULT_POLICY, padding=None):
+            policy=DEFAULT_POLICY, padding=None, isolate=False):
     """conv followed by batch_norm.
 
     At eval the BN scale folds into the conv weights (w' = w * inv, computed
@@ -188,9 +200,10 @@ def conv_bn(pc, pb, sb, x, stride=1, groups=1, train=False,
         inv = lax.rsqrt(sb["var"] + BN_EPS) * pb["scale"]
         bias = pb["bias"] - sb["mean"] * inv
         y = conv({"w": pc["w"] * inv}, x, stride=stride, groups=groups,
-                 policy=policy, padding=padding)
+                 policy=policy, padding=padding, isolate=isolate)
         return y + bias.astype(y.dtype), sb
-    y = conv(pc, x, stride=stride, groups=groups, policy=policy, padding=padding)
+    y = conv(pc, x, stride=stride, groups=groups, policy=policy,
+             padding=padding, isolate=isolate)
     return batch_norm(pb, sb, y, True)
 
 
@@ -215,9 +228,10 @@ def convbnrelu_init(key, cin, cout, k=3, groups=1):
     return {"conv": pc, "bn": pb}, {"bn": sb}
 
 
-def convbnrelu_apply(p, s, x, stride=1, groups=1, train=False, policy=DEFAULT_POLICY):
+def convbnrelu_apply(p, s, x, stride=1, groups=1, train=False, policy=DEFAULT_POLICY,
+                     isolate=False):
     y, sb = conv_bn(p["conv"], p["bn"], s["bn"], x, stride=stride, groups=groups,
-                    train=train, policy=policy)
+                    train=train, policy=policy, isolate=isolate)
     return relu6(y), {"bn": sb}
 
 
@@ -252,7 +266,8 @@ def inv_bottleneck_apply(p, s, x, stride=1, train=False, policy=DEFAULT_POLICY):
                     train=train, policy=policy)
     y = relu6(y)
     y, s2 = conv_bn(p["depth"]["conv"], p["depth"]["bn"], s["depth"]["bn"], y,
-                    stride=stride, groups=feat, train=train, policy=policy)
+                    stride=stride, groups=feat, train=train, policy=policy,
+                    isolate=not train)
     y = relu6(y)
     y, s3 = conv_bn(p["point"]["conv"], p["point"]["bn"], s["point"]["bn"], y,
                     train=train, policy=policy)
@@ -276,7 +291,8 @@ def sepconv_init(key, cin, cout, ker=3):
 def sepconv_apply(p, s, x, stride=1, train=False, policy=DEFAULT_POLICY):
     cin = x.shape[-1]
     y, sb = conv_bn(p["dw"]["conv"], p["dw"]["bn"], s["dw"]["bn"], x,
-                    stride=stride, groups=cin, train=train, policy=policy)
+                    stride=stride, groups=cin, train=train, policy=policy,
+                    isolate=not train)
     y = relu(y)
     y = conv(p["pw"]["conv"], y, policy=policy)
     return y, {"dw": {"bn": sb}}

@@ -176,7 +176,8 @@ def apply_litepose(
 
     p, s = params, state
     y, n0 = L.convbnrelu_apply(p["first"]["cbr0"], s["first"]["cbr0"], x, stride=2, train=train, policy=policy)
-    y, n1 = L.convbnrelu_apply(p["first"]["cbr1"], s["first"]["cbr1"], y, groups=STEM_CHANNELS, train=train, policy=policy)
+    y, n1 = L.convbnrelu_apply(p["first"]["cbr1"], s["first"]["cbr1"], y, groups=STEM_CHANNELS, train=train, policy=policy,
+                               isolate=not train)
     y, nb = L.conv_bn(p["first"]["conv2"], p["first"]["bn2"], s["first"]["bn2"], y,
                       train=train, policy=policy)
     ns["first"] = {"cbr0": n0, "cbr1": n1, "bn2": nb}
