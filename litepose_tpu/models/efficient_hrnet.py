@@ -160,8 +160,13 @@ def _same_pad(kernel: int, stride: int):
     return ((p // 2, p - p // 2), (p // 2, p - p // 2))
 
 
-def _conv_same(p, x, kernel, stride, groups=1, policy=DEFAULT_POLICY):
+def _conv_same(p, x, kernel, stride, groups=1, policy=DEFAULT_POLICY,
+               isolate=False):
     (pt, pb), (pl_, pr) = _same_pad(kernel, stride)
+    if isolate:
+        # stop XLA fusing the upstream conv into this (depthwise) conv's
+        # operand fusion — see layers.conv isolate docstring
+        x = lax.optimization_barrier(x)
     y = lax.conv_general_dilated(
         x.astype(policy.compute_dtype),
         p["w"].astype(policy.compute_dtype),
@@ -215,7 +220,8 @@ def _mbconv(p, s, x, expand, kernel, stride, train=False, policy=DEFAULT_POLICY)
         y, nb = L.batch_norm(p["expand"]["bn"], s["expand"]["bn"], y, train)
         y = swish(y)
         ns["expand"] = {"bn": nb}
-    y = _conv_same(p["dw"]["conv"], y, kernel, stride, groups=hidden, policy=policy)
+    y = _conv_same(p["dw"]["conv"], y, kernel, stride, groups=hidden, policy=policy,
+                   isolate=not train)
     y, nb = L.batch_norm(p["dw"]["bn"], s["dw"]["bn"], y, train)
     y = swish(y)
     ns["dw"] = {"bn": nb}

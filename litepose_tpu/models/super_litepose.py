@@ -229,7 +229,10 @@ def super_inv_bottleneck(
         # torch Linear on the flattened kernel: y = W @ flat + b
         flat = lin["w"] @ flat + lin["b"][:, None]
         w = flat.reshape(kernel, kernel, 1, w.shape[-1])
-    y = L.conv({"w": w}, y, stride=stride, groups=w.shape[-1], policy=policy)
+    # isolate at eval: stops XLA fusing the expand conv into this depthwise
+    # conv's operand fusion with real BN/bias values (see layers.conv)
+    y = L.conv({"w": w}, y, stride=stride, groups=w.shape[-1], policy=policy,
+               isolate=not train)
     y = y * feat_mask.astype(y.dtype)
     y, s2 = masked_bn(bp["depth"]["bn"], bs["depth"]["bn"], y, feat_mask, train)
     y = L.relu6(y)

@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--forward-only", action="store_true",
                     help="skip the serve step (its Pallas decode kernels run "
                          "in interpret mode off-TPU — minutes on CPU)")
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint to profile with; defaults to "
+                         "assets/bench_ckpt.msgpack when present (arch "
+                         "matches) — NEVER profile with freshly-initialized "
+                         "params: BN/bias init identities let XLA delete the "
+                         "epilogues and flip fusion decisions "
+                         "(PERF_NOTES.md 'identity-BN artifact')")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +66,23 @@ def main():
     arch = get_arch(args.arch)
     spec = ModelSpec(num_joints=14)
     params, state = init_litepose(jax.random.PRNGKey(0), spec, arch)
+    ckpt = args.ckpt
+    if ckpt is None and args.arch == "auto-S":
+        cand = os.path.join(REPO, "assets", "bench_ckpt.msgpack")
+        ckpt = cand if os.path.isfile(cand) else None
+    if ckpt:
+        from litepose_tpu.train.checkpoint import load_params
+        params, state = load_params(ckpt, params, state)
+        print(f"# params from {ckpt}", flush=True)
+    else:
+        # perturb the init-identity affines so XLA cannot fold the BN/bias
+        # epilogues away (PERF_NOTES.md "identity-BN artifact")
+        prng = np.random.default_rng(7)
+        perturb = lambda l: l + jnp.asarray(
+            prng.uniform(0.01, 0.05, l.shape), l.dtype) if l.ndim == 1 else l
+        params = jax.tree_util.tree_map(perturb, params)
+        state = jax.tree_util.tree_map(perturb, state)
+        print("# random init (affines perturbed off identity)", flush=True)
     rng = np.random.default_rng(0)
     print(f"# backend={jax.default_backend()} arch={args.arch} "
           f"img={arch.img_size} batch={B}", flush=True)
@@ -137,6 +161,12 @@ def main():
             exp, ker = st.block_setting[0]
             bp, bs = L.inv_bottleneck_init(jax.random.PRNGKey(si), c, c,
                                            ker=ker, exp=exp)
+            # off-identity affines (PERF_NOTES "identity-BN artifact")
+            prng = np.random.default_rng(si)
+            off = lambda l: l + jnp.asarray(
+                prng.uniform(0.01, 0.05, l.shape), l.dtype) if l.ndim == 1 else l
+            bp = jax.tree_util.tree_map(off, bp)
+            bs = jax.tree_util.tree_map(off, bs)
             xs = jnp.asarray(rng.standard_normal((B, hw, hw, c)), jnp.bfloat16)
 
             def blk_body(i, carry, bp=bp, bs=bs):
