@@ -241,3 +241,38 @@ def test_engine_process_end_to_end():
         assert np.all(person[:, 0] > -64) and np.all(person[:, 0] < 210 + 64)
         assert np.all(person[:, 1] > -64) and np.all(person[:, 1] < 150 + 64)
     assert len(scores) == len(finals)
+
+
+def test_flip_concat_matches_twopass():
+    """flip_mode='concat' (one 2B-batch forward) must be bit-identical to the
+    reference-style two sequential forwards ('twopass'): convs and eval-mode
+    BN are batch-parallel, so batching the mirrored image cannot change
+    results (/root/reference/lib/core/inference.py:108-146 runs two passes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepose_tpu.core.inference import make_infer_fn
+    from litepose_tpu.models.litepose import init_litepose
+
+    arch = get_arch("auto-XS")
+    spec = ModelSpec(num_joints=14)
+    params, state = init_litepose(jax.random.PRNGKey(3), spec, arch)
+
+    def apply_fn(p, s, x):
+        outs, _ = apply_litepose(p, s, x, spec, arch, train=False)
+        return outs
+
+    flags = InferenceFlags(
+        num_joints=14,
+        with_heatmaps_loss=(True, True), with_ae_loss=(True, False),
+        test_with_heatmaps=(True, True), test_with_ae=(True, False),
+        flip_test=True, flip_index=tuple(flip_index_for("crowd_pose_kpt")),
+    )
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, arch.img_size, arch.img_size, 3)).astype(np.uint8)
+
+    heat_c, tag_c = make_infer_fn(apply_fn, flags)(params, state, imgs)
+    heat_t, tag_t = make_infer_fn(apply_fn, flags._replace(flip_mode="twopass"))(
+        params, state, imgs)
+    assert jnp.array_equal(heat_c, heat_t)
+    assert jnp.array_equal(tag_c, tag_t)
