@@ -32,6 +32,7 @@ from ..data.affine import (
 )
 from ..ops.group import StaticGroupCfg, parse_batch
 from ..ops.group_ref import GroupParams
+from ..parallel.mesh import replicate_spec, shard_batch_spec, shard_pytree
 from .inference import InferenceFlags, make_infer_fn, to_decode_layout
 
 
@@ -60,7 +61,8 @@ class PoseEngine:
     """
 
     def __init__(self, apply_fn, params, state, flags: InferenceFlags,
-                 group: GroupParams, config: EngineConfig):
+                 group: GroupParams, config: EngineConfig,
+                 mesh=None):
         self.apply_fn = apply_fn
         self.params = params
         self.state = state
@@ -71,27 +73,61 @@ class PoseEngine:
             group, assignment=config.assignment, topk_method=config.topk_method
         )
         self.config = config
+        # Multi-chip data-parallel serving: with a Mesh, params/state are
+        # replicated across the chips and every batched program runs under
+        # ``jax.shard_map`` with the batch dim sharded on the mesh's first
+        # axis.  shard_map (not bare jit-with-sharded-inputs) is required
+        # because the decode is Pallas kernels — custom calls XLA's SPMD
+        # partitioner cannot split; per-device the whole fused program runs
+        # on the local batch shard, with zero cross-chip communication (every
+        # image's pipeline is independent), so throughput scales with chips
+        # over ICI-free pure data parallelism.
+        self.mesh = mesh
+        if mesh is not None:
+            self._data_axis = mesh.axis_names[0]
+            self.params = shard_pytree(self.params, replicate_spec(mesh))
+            self.state = shard_pytree(self.state, replicate_spec(mesh))
+            self._batch_sharding = shard_batch_spec(mesh, self._data_axis)
         self._fused: Dict[Tuple[int, int], Callable] = {}
         self._infer: Dict[Tuple[Tuple[int, int], Tuple[int, int], bool], Callable] = {}
         self._decode: Dict[Tuple[int, int], Callable] = {}
 
+    def _jit_batched(self, body: Callable) -> Callable:
+        """jit a ``(params, state, images) -> outputs`` program, sharding the
+        batch dim over the mesh when one is configured."""
+        if self.mesh is None:
+            return jax.jit(body)
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(self._data_axis)
+        # check_vma=False: the body contains Pallas custom calls, whose
+        # out-shapes carry no varying-mesh-axes annotation for the checker
+        mapped = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(), spec), out_specs=spec,
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
     # -- compiled program builders -----------------------------------------
 
-    def _fused_fn(self, in_hw: Tuple[int, int], out_hw: Optional[Tuple[int, int]]):
+    def _fused_fn(self, in_hw: Tuple[int, int], out_hw: Optional[Tuple[int, int]],
+                  sharded: bool = False):
         """Single-scale fully fused program: uint8 image -> people."""
-        key = in_hw
+        key = (in_hw, sharded)
         if key not in self._fused:
             infer = make_infer_fn(self.apply_fn, self.flags, project_hw=out_hw)
             gcfg = self.group_cfg
             wa, wr = self.config.with_adjust, self.config.with_refine
 
-            @jax.jit
             def fused(params, state, images_u8):
                 heat, tag = infer(params, state, images_u8)
                 det, tagt = to_decode_layout(heat, tag)
                 return parse_batch(det, tagt, gcfg, wa, wr)
 
-            self._fused[key] = fused
+            self._fused[key] = (
+                self._jit_batched(fused) if sharded else jax.jit(fused)
+            )
         return self._fused[key]
 
     def _infer_fn(self, in_hw, out_hw, keep_tags: bool):
@@ -201,11 +237,24 @@ class PoseEngine:
         """High-throughput serving path: a batch of images pre-resized to
         the square ``input_size``; one fused program, batched decode.
 
+        With a mesh configured, the batch (which must divide evenly by the
+        mesh size) is sharded across the chips and each runs the full fused
+        pipeline on its shard — pure data-parallel scaling.
+
         Returns (people (B,P,K,3+T) in heatmap coords, scores (B,P),
         counts (B,)); callers map coords with their own inverse affines.
         """
         hw = (images_u8.shape[1], images_u8.shape[2])
         project_hw = hw if self.config.project2image else None
-        fn = self._fused_fn(hw, project_hw)
+        sharded = self.mesh is not None
+        if sharded:
+            n_dev = self.mesh.devices.size
+            if images_u8.shape[0] % n_dev != 0:
+                raise ValueError(
+                    f"batch {images_u8.shape[0]} not divisible by the "
+                    f"{n_dev}-device mesh"
+                )
+            images_u8 = jax.device_put(images_u8, self._batch_sharding)
+        fn = self._fused_fn(hw, project_hw, sharded=sharded)
         people, scores, n = fn(self.params, self.state, images_u8)
         return np.asarray(people), np.asarray(scores), np.asarray(n)
