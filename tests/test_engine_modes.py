@@ -62,6 +62,31 @@ def test_with_center_engine():
         assert person.shape[0] == 14  # center removed
 
 
+def test_process_many_matches_per_image():
+    # batched bucketed eval must be result-identical to the per-image loop,
+    # across shape buckets and a zero-padded final chunk
+    eng = _engine(flip=True)
+    rng = np.random.default_rng(5)
+    sizes = [(100, 140), (100, 140), (90, 90), (100, 140), (64, 120)]
+    imgs = [rng.integers(0, 255, s + (3,)).astype(np.uint8) for s in sizes]
+    ref = [eng.process(im) for im in imgs]
+    got = eng.process_many(imgs, batch_size=2)
+    for (rp, rs), (gp, gs) in zip(ref, got):
+        assert len(rp) == len(gp)
+        np.testing.assert_allclose(gs, rs, atol=1e-5, rtol=1e-5)
+        for a, b in zip(rp, gp):
+            np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)
+
+
+def test_process_many_multiscale_fallback():
+    eng = _engine(scale_factors=(0.5, 1.0))
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)]
+    ref = eng.process(imgs[0])
+    got = eng.process_many(imgs)[0]
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-5)
+
+
 def test_serving_square_batch_path():
     eng = _engine(project2image=False)
     imgs = np.random.default_rng(2).integers(0, 255, (2, 128, 128, 3)).astype(np.uint8)

@@ -25,16 +25,27 @@ def parse_args():
     p.add_argument("--ann-file", default=None)
     p.add_argument("--image-dir", default=None)
     p.add_argument("--max-images", type=int, default=0, help="0 = all")
+    p.add_argument(
+        "--batch-size", type=int, default=16,
+        help="images per fused eval program (grouped by resize-ladder shape "
+             "bucket; 1 = the reference's per-image loop)",
+    )
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="data-parallel eval over the first N local devices "
+             "(batched path only; batches shard across the mesh)",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
 
-def build_engine(cfg, arch, params, state):
+def build_engine(cfg, arch, params, state, n_devices=1):
     from litepose_tpu.core.engine import EngineConfig, PoseEngine
     from litepose_tpu.core.inference import InferenceFlags
     from litepose_tpu.data.flip import flip_index_for
     from litepose_tpu.models import get_model
     from litepose_tpu.ops.group_ref import GroupParams
+    from litepose_tpu.parallel.mesh import make_mesh
 
     _, apply_fn = get_model(
         "pose_mobilenet" if "super" in cfg.MODEL.NAME else cfg.MODEL.NAME, cfg, arch
@@ -55,7 +66,9 @@ def build_engine(cfg, arch, params, state):
         with_refine=cfg.TEST.REFINE,
         project2image=cfg.TEST.PROJECT2IMAGE,
     )
-    return PoseEngine(eval_apply, params, state, flags, group, engine_cfg)
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    return PoseEngine(eval_apply, params, state, flags, group, engine_cfg,
+                      mesh=mesh)
 
 
 def main():
@@ -127,7 +140,7 @@ def main():
             params, state = load_params(model_file, params, state)
         logger.info(f"loaded weights from {model_file}")
 
-    engine = build_engine(cfg, arch, params, state)
+    engine = build_engine(cfg, arch, params, state, n_devices=args.devices)
 
     style = "coco" if "coco" in cfg.DATASET.DATASET else "crowdpose"
     split = cfg.DATASET.TEST
@@ -144,13 +157,30 @@ def main():
     all_preds, all_scores = [], []
     n = len(ds) if args.max_images == 0 else min(args.max_images, len(ds))
     t0 = time.time()
-    for i in range(n):
-        image, _, _ = ds.load_raw(i)
-        people, scores = engine.process(image)
-        all_preds.append(people)
-        all_scores.append(scores)
-        if i % cfg.PRINT_FREQ == 0:
-            logger.info(f"eval {i}/{n} ({(i + 1) / (time.time() - t0):.2f} img/s)")
+    if args.batch_size > 1:
+        # batched eval: images grouped by resize-ladder shape bucket, one
+        # fused program per bucket (identical results to the per-image loop;
+        # see PoseEngine.process_many).  Outer chunks bound host memory.
+        chunk = max(args.batch_size * 8, 64)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            images = [ds.load_raw(i)[0] for i in range(lo, hi)]
+            for people, scores in engine.process_many(
+                images, batch_size=args.batch_size
+            ):
+                all_preds.append(people)
+                all_scores.append(scores)
+            logger.info(
+                f"eval {hi}/{n} ({hi / (time.time() - t0):.2f} img/s)"
+            )
+    else:
+        for i in range(n):
+            image, _, _ = ds.load_raw(i)
+            people, scores = engine.process(image)
+            all_preds.append(people)
+            all_scores.append(scores)
+            if i % cfg.PRINT_FREQ == 0:
+                logger.info(f"eval {i}/{n} ({(i + 1) / (time.time() - t0):.2f} img/s)")
     ds.ids = ds.ids[:n]
     stats = ds.evaluate(all_preds, all_scores, output_dir=out_dir)
     print_name_value(logger, stats, cfg.MODEL.NAME)
