@@ -114,3 +114,44 @@ def test_gen_arch_tool(tmp_path):
     assert r.returncode == 0, r.stderr
     d = json.load(open(out))
     assert d["img_size"] == 256 and d["input_channel"] == 16
+
+
+@pytest.mark.slow
+def test_accuracy_predictor_end_to_end(tmp_path):
+    """AccuracyPredictor: extract candidate -> BN recalibration -> batched
+    fused eval -> AP, with memoization.  Covers the acc_pred.py +
+    calibrate_test.py semantics (/root/reference/arch_search/acc_pred.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixture_data import make_fixture
+
+    from litepose_tpu.config import default_config, update_config
+    from litepose_tpu.data.dataset import PoseDataset
+    from litepose_tpu.models.litepose import ModelSpec
+    from litepose_tpu.models.super_litepose import SuperDims, init_super_litepose
+    from litepose_tpu.nas.predictors import AccuracyPredictor
+
+    ann, img_dir = make_fixture(str(tmp_path / "fix"), num_joints=14, n_images=4)
+    ds = PoseDataset(ann, img_dir, 14, style="crowdpose", filter_for_train=False)
+
+    cfg = default_config()
+    update_config(
+        cfg,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                     "configs/crowd_pose/mobilenet/supermobile.yaml"),
+        ["TEST.FLIP_TEST", "False"],
+    )
+
+    manager = ArchManager(seed=0)
+    dims = SuperDims.from_manager(manager)
+    spec = ModelSpec(num_joints=14)
+    params, state = init_super_litepose(jax.random.PRNGKey(0), spec, dims)
+
+    pred = AccuracyPredictor(
+        params, state, dims, spec, ds, ds, cfg,
+        n_calib_batches=1, calib_batch_size=2, max_eval_images=2,
+    )
+    arch = manager.fixed_sample(reso=64, ratio=0.25)
+    acc = pred(arch)
+    assert isinstance(acc, float) and 0.0 <= acc <= 1.0
+    assert pred(arch) == acc  # memoized (no recompute)
