@@ -21,6 +21,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: model-forward compiles dominate suite
+# wall time on this 1-core host; caching them makes every re-run of the
+# suite start warm.  Keyed by optimized-HLO hash, so stale hits are
+# impossible; delete the directory to force cold compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("LITEPOSE_TEST_XLA_CACHE",
+                   "/tmp/litepose_tpu_test_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
