@@ -88,7 +88,7 @@ class PoseEngine:
             self.params = shard_pytree(self.params, replicate_spec(mesh))
             self.state = shard_pytree(self.state, replicate_spec(mesh))
             self._batch_sharding = shard_batch_spec(mesh, self._data_axis)
-        self._fused: Dict[Tuple[int, int], Callable] = {}
+        self._fused: Dict[Tuple[Tuple[int, int], bool], Callable] = {}
         self._infer: Dict[Tuple[Tuple[int, int], Tuple[int, int], bool], Callable] = {}
         self._decode: Dict[Tuple[int, int], Callable] = {}
 
@@ -236,17 +236,22 @@ class PoseEngine:
         finals = get_final_preds(people, center, scale, (hm_hw[1], hm_hw[0]))
         return finals, scores
 
-    def process_many(self, images: Sequence[np.ndarray], batch_size: int = 16,
-                     progress_cb: Optional[Callable[[int], None]] = None):
-        """Batched full-protocol eval over many variable-size images.
+    def process_indexed(self, shapes: Sequence[Tuple[int, int]],
+                        load_fn: Callable[[int], np.ndarray],
+                        batch_size: int = 16,
+                        progress_cb: Optional[Callable[[int], None]] = None):
+        """Batched full-protocol eval over many variable-size images,
+        loaded lazily.
 
         The reference eval loop runs one image per forward
         (``/root/reference/valid.py:195-245``); on TPU that wastes most of
         the chip (a b1 forward costs nearly as much as b16).  The 64-px
         resize ladder maps source sizes onto a small set of warped shapes,
-        so images are grouped by warped shape and each group runs through
-        the same fused program in ``batch_size`` chunks (the last chunk
-        zero-padded to keep one compiled program per shape bucket).
+        so the WHOLE index set is bucketed by warped shape up front — from
+        ``shapes`` alone, no pixels touched — and each bucket runs through
+        the same fused program in ``batch_size`` chunks (only each bucket's
+        final chunk is zero-padded).  ``load_fn(i)`` is called once per
+        image at batch-assembly time, bounding host memory by one batch.
         Per-image results are identical to :meth:`process` — each image's
         pipeline is independent and the compiled program is the same one
         the single-image path uses at that shape.
@@ -254,15 +259,21 @@ class PoseEngine:
         Multi-scale configs fall back to the per-image path (cross-scale
         accumulation grids differ per image).
 
+        Args:
+          shapes: per-image source ``(height, width)`` — e.g. straight from
+            COCO annotation metadata.
+          load_fn: index -> RGB uint8 image of that shape.
+          progress_cb: called with the cumulative image count after each
+            batch.
+
         Returns a list of ``(people, scores)`` pairs in source coords, in
-        input order.  ``progress_cb`` (if given) is called with the number
-        of images completed after each batch.
+        input order.
         """
         cfg = self.config
         if tuple(cfg.scale_factors) != (1.0,):
             out = []
-            for i, img in enumerate(images):
-                out.append(self.process(img))
+            for i in range(len(shapes)):
+                out.append(self.process(load_fn(i)))
                 if progress_cb is not None:
                     progress_cb(i + 1)
             return out
@@ -273,14 +284,14 @@ class PoseEngine:
         min_scale = min(cfg.scale_factors)
         metas = []
         buckets: Dict[Tuple[int, int], List[int]] = {}
-        for i, img in enumerate(images):
+        for i, src_hw in enumerate(shapes):
             size_resized, center, scale = get_multi_scale_size(
-                img.shape[:2], cfg.input_size, 1.0, min_scale
+                tuple(src_hw), cfg.input_size, 1.0, min_scale
             )
             metas.append((size_resized, center, scale))
             buckets.setdefault((size_resized[1], size_resized[0]), []).append(i)
 
-        results: List = [None] * len(images)
+        results: List = [None] * len(shapes)
         done = 0
         for hw, idxs in buckets.items():
             project_hw = hw if cfg.project2image else None
@@ -294,7 +305,7 @@ class PoseEngine:
                 for j, i in enumerate(chunk):
                     size_resized, center, scale = metas[i]
                     mat = get_affine_transform(center, scale, 0, size_resized)
-                    batch[j] = warp_image(images[i], mat, size_resized)
+                    batch[j] = warp_image(load_fn(i), mat, size_resized)
                 imgs_dev = batch
                 if self.mesh is not None:
                     imgs_dev = jax.device_put(batch, self._batch_sharding)
@@ -311,6 +322,15 @@ class PoseEngine:
                 if progress_cb is not None:
                     progress_cb(done)
         return results
+
+    def process_many(self, images: Sequence[np.ndarray], batch_size: int = 16,
+                     progress_cb: Optional[Callable[[int], None]] = None):
+        """Batched eval over an in-memory image list — see
+        :meth:`process_indexed`."""
+        return self.process_indexed(
+            [img.shape[:2] for img in images], lambda i: images[i],
+            batch_size=batch_size, progress_cb=progress_cb,
+        )
 
     def process_batch_square(self, images_u8: np.ndarray):
         """High-throughput serving path: a batch of images pre-resized to

@@ -80,6 +80,13 @@ class PoseDataset:
         image_id = self.ids[idx]
         return _load_image(self.image_path(image_id)), self.coco.annotations_for(image_id), image_id
 
+    def image_size(self, idx: int) -> tuple:
+        """Source (height, width) from annotation metadata — no pixel IO.
+        Lets batched eval bucket the whole split by warped shape up front
+        (``PoseEngine.process_indexed``)."""
+        info = self.coco.image_info(self.ids[idx])
+        return (info["height"], info["width"])
+
     def get_joints(self, anno: List[dict], scale_aware_sigma=False,
                    base_size=256.0, base_sigma=2.0, int_sigma=False) -> np.ndarray:
         width = 4 if scale_aware_sigma else 3

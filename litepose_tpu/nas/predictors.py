@@ -115,20 +115,17 @@ class AccuracyPredictor:
         n = len(self.search) if not self.max_eval_images else min(
             self.max_eval_images, len(self.search)
         )
-        # batched bucketed eval (PoseEngine.process_many): candidate archs
+        # batched bucketed eval (PoseEngine.process_indexed): candidate archs
         # are scored over N images each, so per-image forwards would leave
         # most of the chip idle during the evolutionary search
         preds, scores = [], []
-        chunk = max(self.calib_batch_size * 8, 64)
-        for lo in range(0, n, chunk):
-            images = [
-                self.search.load_raw(i)[0] for i in range(lo, min(lo + chunk, n))
-            ]
-            for people, sc in engine.process_many(
-                images, batch_size=self.calib_batch_size
-            ):
-                preds.append(people)
-                scores.append(sc)
+        for people, sc in engine.process_indexed(
+            [self.search.image_size(i) for i in range(n)],
+            lambda i: self.search.load_raw(i)[0],
+            batch_size=self.calib_batch_size,
+        ):
+            preds.append(people)
+            scores.append(sc)
         ids_backup = self.search.ids
         self.search.ids = ids_backup[:n]
         try:

@@ -140,6 +140,15 @@ def main():
             params, state = load_params(model_file, params, state)
         logger.info(f"loaded weights from {model_file}")
 
+    single_scale = tuple(float(s) for s in cfg.TEST.SCALE_FACTOR) == (1.0,)
+    if args.devices > 1 and (args.batch_size <= 1 or not single_scale):
+        # the mesh only shards the batched single-scale path; anything else
+        # would silently replicate params and run single-device
+        logger.warning(
+            "--devices ignored: data-parallel eval needs --batch-size > 1 "
+            "and single-scale TEST.SCALE_FACTOR [1]"
+        )
+        args.devices = 1
     engine = build_engine(cfg, arch, params, state, n_devices=args.devices)
 
     style = "coco" if "coco" in cfg.DATASET.DATASET else "crowdpose"
@@ -158,21 +167,25 @@ def main():
     n = len(ds) if args.max_images == 0 else min(args.max_images, len(ds))
     t0 = time.time()
     if args.batch_size > 1:
-        # batched eval: images grouped by resize-ladder shape bucket, one
-        # fused program per bucket (identical results to the per-image loop;
-        # see PoseEngine.process_many).  Outer chunks bound host memory.
-        chunk = max(args.batch_size * 8, 64)
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            images = [ds.load_raw(i)[0] for i in range(lo, hi)]
-            for people, scores in engine.process_many(
-                images, batch_size=args.batch_size
-            ):
-                all_preds.append(people)
-                all_scores.append(scores)
-            logger.info(
-                f"eval {hi}/{n} ({hi / (time.time() - t0):.2f} img/s)"
-            )
+        # batched eval: the whole split bucketed by resize-ladder shape from
+        # annotation metadata (no pixel IO), images loaded lazily per batch;
+        # result-identical to the per-image loop (PoseEngine.process_indexed)
+        last_logged = [0]
+
+        def _progress(done):
+            if done - last_logged[0] >= max(cfg.PRINT_FREQ, 1) or done == n:
+                last_logged[0] = done
+                logger.info(
+                    f"eval {done}/{n} ({done / (time.time() - t0):.2f} img/s)"
+                )
+
+        for people, scores in engine.process_indexed(
+            [ds.image_size(i) for i in range(n)],
+            lambda i: ds.load_raw(i)[0],
+            batch_size=args.batch_size, progress_cb=_progress,
+        ):
+            all_preds.append(people)
+            all_scores.append(scores)
     else:
         for i in range(n):
             image, _, _ = ds.load_raw(i)
