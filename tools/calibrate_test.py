@@ -34,6 +34,9 @@ def main():
 
     import jax
 
+    from litepose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from litepose_tpu.arch import ArchManager, load_arch
     from litepose_tpu.config import default_config, update_config
     from litepose_tpu.data.dataset import PoseDataset

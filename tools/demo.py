@@ -160,6 +160,9 @@ def main():
     import jax
     import numpy as np
 
+    from litepose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from litepose_tpu.arch import load_arch
     from litepose_tpu.arch.zoo import ARCH_ZOO
     from litepose_tpu.core.engine import EngineConfig, PoseEngine

@@ -27,6 +27,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from litepose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import numpy as np
 
     from litepose_tpu.arch import load_arch

@@ -50,6 +50,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from litepose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from jax import lax

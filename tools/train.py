@@ -61,6 +61,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from litepose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from litepose_tpu.arch import ArchManager, load_arch
     from litepose_tpu.config import check_config, default_config, update_config
     from litepose_tpu.core.losses import LossConfig
