@@ -68,6 +68,10 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
         rm[k] = jnp.max(xs[k], axis=1, keepdims=True)  # (H, 1)
 
     # ---- row-hierarchical exact top-M, all-vector ----
+    # The plane stays READ-ONLY during extraction: already-extracted cells
+    # are re-masked from the recorded flat positions ((M, W) compares)
+    # instead of NEG-writing the plane ((H, W) pass per extraction) — one
+    # full-plane op per extraction (the row gather) instead of two.
     riota = lax.broadcasted_iota(jnp.int32, (H, 1), 0)
     ciota = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     iota_sm = lax.broadcasted_iota(jnp.int32, (1, M), 1)
@@ -84,6 +88,16 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
             )  # first max row (lowest index: lax.top_k tie order)
             roh = riota == rfirst  # (H, 1)
             row = jnp.sum(jnp.where(roh, plane, 0.0), axis=0, keepdims=True)
+            if i > 0:
+                # cells of this row already extracted (slots < i): value
+                # ties would otherwise re-resolve to the same column
+                flat_ids = rfirst * W + ciota  # (1, W)
+                taken = jnp.any(
+                    (poss[:, :, None] == flat_ids[:, None, :])
+                    & (iota_sm[:, :, None] < i),
+                    axis=1,
+                )  # (1, W)
+                row = jnp.where(taken, NEG, row)
             cfirst = jnp.min(
                 jnp.where(row == mv, ciota, HUGE_I), axis=1, keepdims=True
             )
@@ -91,7 +105,6 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
             vals = jnp.where(iota_sm == i, mv, vals)
             poss = jnp.where(iota_sm == i, rfirst * W + cfirst, poss)
             row_new = jnp.where(coh, NEG, row)
-            plane = jnp.where(roh & coh, NEG, plane)
             rmk = jnp.where(roh, jnp.max(row_new, axis=1, keepdims=True), rmk)
         val_ref[0, j * KB + k] = vals[0]
         pos_ref[0, j * KB + k] = poss[0]

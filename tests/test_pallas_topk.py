@@ -60,6 +60,22 @@ def test_nms_topk_chunked_planes():
     np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_i))
 
 
+def test_nms_topk_dominant_row_ties():
+    """One row holds many equal-valued survivors above everything else:
+    every extraction re-selects that row, so tie resolution must come from
+    the recorded-position remask (not a plane mutation)."""
+    rng = np.random.default_rng(4)
+    B, K, H, W, M = 1, 1, 40, 64, 12
+    det = (0.1 * rng.standard_normal((B, K, H, W))).astype(np.float32)
+    det[0, 0, 17, ::4] = 5.0  # 16 tied peaks in row 17 (NMS keeps ties)
+    x = jnp.asarray(det)
+    val, pos = nms_topk_pallas(x, M, 5)
+    sup = heatmap_nms(x, 5, 2).reshape(B, K, H * W)
+    want_v, want_i = lax.top_k(sup, M)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_i))
+
+
 def test_top_k_peaks_batch_matches_vmapped():
     rng = np.random.default_rng(2)
     B, K, H, W, T, M = 2, 4, 40, 56, 2, 8
