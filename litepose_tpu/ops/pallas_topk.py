@@ -38,7 +38,8 @@ NEG = -3.0e38
 HUGE_I = 2**31 - 1
 
 
-def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
+def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r,
+                     gather: str = "sum"):
     """Grid step (b, j): NMS + exact top-M for a chunk of KB joint planes
     (chunked so the VMEM block + scratch fit at any decode resolution —
     project2image evals run at up to ~512x704 per plane).
@@ -73,6 +74,7 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
     # instead of NEG-writing the plane ((H, W) pass per extraction) — one
     # full-plane op per extraction (the row gather) instead of two.
     riota = lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    riota_t = lax.broadcasted_iota(jnp.int32, (1, H), 1)
     ciota = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     iota_sm = lax.broadcasted_iota(jnp.int32, (1, M), 1)
 
@@ -87,7 +89,17 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
                 jnp.where(rmk == mv, riota, HUGE_I), axis=0, keepdims=True
             )  # first max row (lowest index: lax.top_k tie order)
             roh = riota == rfirst  # (H, 1)
-            row = jnp.sum(jnp.where(roh, plane, 0.0), axis=0, keepdims=True)
+            if gather == "dot":
+                # one-hot row select on the MXU: (1,H)x(H,W) fp32 matvec.
+                # Exact: each output col sums one v*1.0 plus zeros (the
+                # fp32->3xbf16 MXU decomposition reconstructs v exactly).
+                roh_t = (riota_t == rfirst).astype(jnp.float32)  # (1, H)
+                row = jax.lax.dot_general(
+                    roh_t, plane, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                row = jnp.sum(jnp.where(roh, plane, 0.0), axis=0, keepdims=True)
             if i > 0:
                 # cells of this row already extracted (slots < i): value
                 # ties would otherwise re-resolve to the same column
@@ -111,10 +123,11 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_people", "nms_kernel", "_vmem_budget")
+    jax.jit,
+    static_argnames=("max_people", "nms_kernel", "_vmem_budget", "_gather"),
 )
 def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
-                    _vmem_budget: int = 10 * 2**20):
+                    _vmem_budget: int = 10 * 2**20, _gather: str = "sum"):
     """det (B, K, H, W) (f32 or bf16) -> (val (B,K,M) f32, pos (B,K,M) i32).
 
     Equivalent to ``heatmap_nms(det, k, k//2)`` (fp32) followed by
@@ -132,7 +145,8 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
     if Kp != K:  # zero-pad; padded planes' outputs are sliced off below
         det = jnp.pad(det, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
     kern = functools.partial(
-        _nms_topk_kernel, H=H, W=W, M=M, KB=KB, r=nms_kernel // 2
+        _nms_topk_kernel, H=H, W=W, M=M, KB=KB, r=nms_kernel // 2,
+        gather=_gather,
     )
     val, pos = pl.pallas_call(
         kern,
