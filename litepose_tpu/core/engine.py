@@ -293,6 +293,25 @@ class PoseEngine:
 
         results: List = [None] * len(shapes)
         done = 0
+        # Double-buffered drive: JAX dispatch is asynchronous, so after
+        # launching batch k we assemble batch k+1 (host-side image loading +
+        # affine warps) while the device computes, and only then block on
+        # batch k's results.  Host work and device compute overlap; the
+        # reference loop (and a naive port) serializes them.
+        pending = None  # (chunk, people, scores, n, hm_hw)
+
+        def drain(pending):
+            chunk, people, scores, n, hm_hw = pending
+            people = np.asarray(people)
+            scores = np.asarray(scores)
+            n = np.asarray(n)
+            for j, i in enumerate(chunk):
+                _, center, scale = metas[i]
+                results[i] = self._finalize_one(
+                    people[j], scores[j], int(n[j]), center, scale, hm_hw
+                )
+            return len(chunk)
+
         for hw, idxs in buckets.items():
             project_hw = hw if cfg.project2image else None
             hm_hw = project_hw if project_hw is not None else (
@@ -310,17 +329,15 @@ class PoseEngine:
                 if self.mesh is not None:
                     imgs_dev = jax.device_put(batch, self._batch_sharding)
                 people, scores, n = fn(self.params, self.state, imgs_dev)
-                people = np.asarray(people)
-                scores = np.asarray(scores)
-                n = np.asarray(n)
-                for j, i in enumerate(chunk):
-                    _, center, scale = metas[i]
-                    results[i] = self._finalize_one(
-                        people[j], scores[j], int(n[j]), center, scale, hm_hw
-                    )
-                done += len(chunk)
-                if progress_cb is not None:
-                    progress_cb(done)
+                if pending is not None:
+                    done += drain(pending)
+                    if progress_cb is not None:
+                        progress_cb(done)
+                pending = (chunk, people, scores, n, hm_hw)
+        if pending is not None:
+            done += drain(pending)
+            if progress_cb is not None:
+                progress_cb(done)
         return results
 
     def process_many(self, images: Sequence[np.ndarray], batch_size: int = 16,

@@ -55,6 +55,11 @@ class StaticGroupCfg(NamedTuple):
     assignment: str = "hungarian"
     # 'exact' = chunked exact top-k; 'approx' = lax.approx_max_k (serving)
     topk_method: str = "exact"
+    # Pallas lowering: None = follow the backend (Mosaic on TPU,
+    # interpreter elsewhere); True/False pins it — set by AOT export
+    # (core/export.py), which traces for a platform the host may not have.
+    # Part of the cfg so it participates in every jit cache key.
+    interpret: bool | None = None
 
     @staticmethod
     def from_params(p: GroupParams, assignment: str = "hungarian",
@@ -282,11 +287,12 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
         if cfg.topk_method == "exact" and cfg.nms_padding == cfg.nms_kernel // 2:
             from .pallas_topk import top_k_peaks_batch
 
-            return top_k_peaks_batch(det, tag, cfg.max_people, cfg.nms_kernel)
+            return top_k_peaks_batch(det, tag, cfg.max_people, cfg.nms_kernel,
+                                     interpret=cfg.interpret)
         return jax.vmap(
             lambda d, t: top_k_peaks(
                 d, t, cfg.max_people, cfg.nms_kernel, cfg.nms_padding,
-                method=cfg.topk_method,
+                method=cfg.topk_method, interpret=cfg.interpret,
             )
         )(det, tag)
 
@@ -309,5 +315,5 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
         people = jax.vmap(adjust)(people, det)
     scores = jnp.mean(people[..., 2], axis=-1)
     if with_refine:
-        people = refine_batch(people, det, tag)
+        people = refine_batch(people, det, tag, interpret=cfg.interpret)
     return people, scores, n_cl

@@ -62,6 +62,7 @@ def top_k_peaks(
     nms_kernel: int = 5,
     nms_padding: int = 2,
     method: str = "exact",
+    interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-joint top-M peaks with tag vectors, one image.
 
@@ -80,9 +81,12 @@ def top_k_peaks(
     K, H, W = det.shape
     T = tag.shape[-1]
     # the Pallas separable-NMS kernel is exact and ~20% faster on TPU, but
-    # only when padding matches the torch default (k//2)
+    # only when padding matches the torch default (k//2).  `interpret`
+    # pins the platform choice for cross-platform AOT export (None =
+    # follow the backend).
+    from .runtime import resolve_interpret
     use_pallas = (
-        jax.default_backend() == "tpu" and nms_padding == nms_kernel // 2
+        not resolve_interpret(interpret) and nms_padding == nms_kernel // 2
     )
     if use_pallas:
         from .pallas_nms import heatmap_nms_pallas

@@ -43,6 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .group import CLIP_COST, PAD_COST, StaticGroupCfg
 
+from .runtime import resolve_interpret
+
 LANES = 128
 # python floats (not jnp scalars): pallas kernels may not capture tracers
 BIG = 3e38
@@ -325,7 +327,7 @@ def match_by_tag_batch_pallas(
             pl.BlockSpec((1, K, M, LANES), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
-        interpret=jax.default_backend() != "tpu",  # CPU tests use interpreter
+        interpret=resolve_interpret(cfg.interpret),
     )(tags_l, vals_l)
 
     cid = jnp.transpose(cid_l, (0, 3, 1, 2)).reshape(Bp, K, M)[:B]  # (B, K, M)

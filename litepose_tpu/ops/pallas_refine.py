@@ -29,6 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .runtime import resolve_interpret
+
 # python int (not a jnp scalar): pallas kernels may not capture tracers
 HUGE_I = 2**31 - 1
 
@@ -82,7 +84,7 @@ def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K)
     pos_ref[0, k] = poss[0]
 
 
-def refine_argmax_pallas(n_people, prev, det, tag_t):
+def refine_argmax_pallas(n_people, prev, det, tag_t, interpret=None):
     """n_people (B,) i32, prev (B,P,T) f32, det (B,K,H,W) f32,
     tag_t (B,K,T,H,W) f32 -> pos (B,K,P) i32 (flat row-major argmax of
     det - round(||tag-prev||); slots >= n_people[b] are written as 0)."""
@@ -106,11 +108,11 @@ def refine_argmax_pallas(n_people, prev, det, tag_t):
         out_specs=pl.BlockSpec((1, K, P), lambda b, k: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, K, P), jnp.int32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=resolve_interpret(interpret),
     )(n_people.reshape(B, 1, 1), prev, det, tag_t)
 
 
-def refine_batch(people, det, tag):
+def refine_batch(people, det, tag, interpret=None):
     """Batched ``group.refine``: people (B,P,K,3+T), det (B,K,H,W),
     tag (B,K,H,W,T) -> refined people.  Same semantics, one HBM pass."""
     B, P, K, _ = people.shape
@@ -142,7 +144,7 @@ def refine_batch(people, det, tag):
 
     # ---- penalized argmax, one pass over det/tag (Pallas) ----
     tag_t = jnp.transpose(tag, (0, 1, 4, 2, 3))  # (B, K, T, H, W)
-    pos = refine_argmax_pallas(n_people, prev, det, tag_t)  # (B, K, P)
+    pos = refine_argmax_pallas(n_people, prev, det, tag_t, interpret)  # (B, K, P)
     pos = jnp.transpose(pos, (0, 2, 1))  # (B, P, K)
     # dead slots carry pos 0 (in range); results are masked by `exists`
 

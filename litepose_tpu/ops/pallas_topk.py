@@ -34,6 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .runtime import resolve_interpret
+
 NEG = -3.0e38
 HUGE_I = 2**31 - 1
 
@@ -124,10 +126,12 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_people", "nms_kernel", "_vmem_budget", "_gather"),
+    static_argnames=("max_people", "nms_kernel", "_vmem_budget", "_gather",
+                     "_interp"),
 )
 def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
-                    _vmem_budget: int = 10 * 2**20, _gather: str = "sum"):
+                    _vmem_budget: int = 10 * 2**20, _gather: str = "sum",
+                    _interp=None):
     """det (B, K, H, W) (f32 or bf16) -> (val (B,K,M) f32, pos (B,K,M) i32).
 
     Equivalent to ``heatmap_nms(det, k, k//2)`` (fp32) followed by
@@ -170,12 +174,13 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
             pltpu.VMEM((KB, H, W), jnp.float32),
             pltpu.VMEM((KB, H, 1), jnp.float32),
         ],
-        interpret=jax.default_backend() != "tpu",
+        interpret=resolve_interpret(_interp),
     )(det)
     return val[:, :K], pos[:, :K]
 
 
-def top_k_peaks_batch(det, tag, max_people: int, nms_kernel: int = 5):
+def top_k_peaks_batch(det, tag, max_people: int, nms_kernel: int = 5,
+                      interpret=None):
     """Batched exact peak extraction: det (B,K,H,W), tag (B,K,H,W,T) ->
     (tag_k (B,K,M,T), loc_k (B,K,M,2) f32 xy, val_k (B,K,M) f32).
 
@@ -183,7 +188,7 @@ def top_k_peaks_batch(det, tag, max_people: int, nms_kernel: int = 5):
     method='exact' and the torch-default padding (k//2)."""
     B, K, H, W = det.shape
     T = tag.shape[-1]
-    val_k, ind = nms_topk_pallas(det, max_people, nms_kernel)
+    val_k, ind = nms_topk_pallas(det, max_people, nms_kernel, _interp=interpret)
     tag_flat = tag.reshape(B, K, H * W, T)
     tag_k = jnp.take_along_axis(tag_flat, ind[..., None], axis=2)
     x = (ind % W).astype(jnp.float32)

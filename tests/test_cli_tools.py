@@ -139,3 +139,16 @@ def test_demo_cli(assets):
     assert r.returncode == 0, r.stderr[-2000:]
     rendered = [f for f in os.listdir(out_dir) if f.endswith(".jpg")]
     assert len(rendered) == 4
+
+
+def test_export_cli(assets):
+    out = os.path.join(assets["dir"], "artifact.stablehlo")
+    r = _run(
+        [os.path.join(REPO, "tools/export.py"),
+         "--arch", assets["arch_json"], "--weights", assets["sub_ckpt"],
+         "--batch", "2", "--platform", "cpu", "--out", out],
+        cwd=assets["dir"],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert "wrote" in r.stdout and "batch=2" in r.stdout

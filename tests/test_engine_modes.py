@@ -70,7 +70,10 @@ def test_process_many_matches_per_image():
     sizes = [(100, 140), (100, 140), (90, 90), (100, 140), (64, 120)]
     imgs = [rng.integers(0, 255, s + (3,)).astype(np.uint8) for s in sizes]
     ref = [eng.process(im) for im in imgs]
-    got = eng.process_many(imgs, batch_size=2)
+    progress = []
+    got = eng.process_many(imgs, batch_size=2, progress_cb=progress.append)
+    # double-buffered drive: progress still strictly increasing, ends at N
+    assert progress == sorted(set(progress)) and progress[-1] == len(imgs)
     for (rp, rs), (gp, gs) in zip(ref, got):
         assert len(rp) == len(gp)
         np.testing.assert_allclose(gs, rs, atol=1e-5, rtol=1e-5)
