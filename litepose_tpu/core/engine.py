@@ -116,13 +116,15 @@ class PoseEngine:
         """Single-scale fully fused program: uint8 image -> people."""
         key = (in_hw, sharded)
         if key not in self._fused:
-            infer = make_infer_fn(self.apply_fn, self.flags, project_hw=out_hw)
+            # decode_layout: transpose-before-project (bit-identical, less
+            # HBM traffic; see make_infer_fn)
+            infer = make_infer_fn(self.apply_fn, self.flags,
+                                  project_hw=out_hw, decode_layout=True)
             gcfg = self.group_cfg
             wa, wr = self.config.with_adjust, self.config.with_refine
 
             def fused(params, state, images_u8):
-                heat, tag = infer(params, state, images_u8)
-                det, tagt = to_decode_layout(heat, tag)
+                det, tagt = infer(params, state, images_u8)
                 return parse_batch(det, tagt, gcfg, wa, wr)
 
             self._fused[key] = (

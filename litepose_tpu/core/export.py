@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.group import parse_batch
-from .inference import make_infer_fn, to_decode_layout
+from .inference import make_infer_fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,15 +52,15 @@ def fused_body(engine, in_hw: Optional[Tuple[int, int]] = None,
     if in_hw is None:
         in_hw = (cfg.input_size, cfg.input_size)
     project_hw = in_hw if cfg.project2image else None
-    infer = make_infer_fn(engine.apply_fn, engine.flags, project_hw=project_hw)
+    infer = make_infer_fn(engine.apply_fn, engine.flags,
+                          project_hw=project_hw, decode_layout=True)
     gcfg = engine.group_cfg
     if interpret is not None:
         gcfg = gcfg._replace(interpret=interpret)
     wa, wr = cfg.with_adjust, cfg.with_refine
 
     def fused(params, state, images_u8):
-        heat, tag = infer(params, state, images_u8)
-        det, tagt = to_decode_layout(heat, tag)
+        det, tagt = infer(params, state, images_u8)
         return parse_batch(det, tagt, gcfg, wa, wr)
 
     return fused

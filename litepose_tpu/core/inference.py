@@ -96,6 +96,13 @@ def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, (n, hw[0], hw[1], c), method="bilinear")
 
 
+def _resize_nchw(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, C, h, w) bilinear resize — same 1D kernels/arithmetic as the
+    NHWC form, W on the vector lanes."""
+    n, c = x.shape[:2]
+    return jax.image.resize(x, (n, c, hw[0], hw[1]), method="bilinear")
+
+
 def _collect(outputs, flags: InferenceFlags):
     """Upsample non-final stages, average heatmaps, gather tags (NHWC)."""
     final_hw = outputs[-1].shape[1:3]
@@ -122,6 +129,7 @@ def make_infer_fn(
     apply_fn: Callable[..., Any],
     flags: InferenceFlags,
     project_hw: Optional[Tuple[int, int]] = None,
+    decode_layout: bool = False,
 ) -> Callable:
     """Build the per-shape jitted inference body.
 
@@ -129,7 +137,17 @@ def make_infer_fn(
     stage outputs (NHWC).  The returned function maps
     ``(params, state, images_u8)`` -> (heatmaps (B,H,W,J),
     tags (B,H,W,J,T)) with flip/projection folded in.
-    """
+
+    decode_layout=True returns the decode layout directly — det (B,J,H,W),
+    tag (B,J,H,W,T), i.e. ``to_decode_layout`` pre-applied — with the
+    transpose done BEFORE the projection resize.  Transpose and resize
+    commute (the bilinear weights act on the H/W dims either way, identical
+    per-element arithmetic), but the order matters for speed: the NHWC->
+    NJHW transpose moves 4x less data at the pre-projection resolution, and
+    the NCHW resize runs with W on the vector lanes instead of J=14 of 128
+    (measured 16.8 -> ~7 ms/b32 of eval-protocol glue at 448; PERF_NOTES
+    round-4).  Bit-parity with the post-projection transpose is pinned in
+    tests/test_inference_pipeline.py."""
 
     def infer(params, state, images_u8):
         x = normalize_images(
@@ -160,6 +178,15 @@ def make_infer_fn(
         if flags.ignore_center:
             heat = heat[..., :-1]
             tags = [t[..., :-1] for t in tags]
+
+        if decode_layout:
+            heat = jnp.transpose(heat, (0, 3, 1, 2))  # (B, J, h, w)
+            tags = [jnp.transpose(t, (0, 3, 1, 2)) for t in tags]
+            if project_hw is not None:
+                heat = _resize_nchw(heat, project_hw)
+                tags = [_resize_nchw(t, project_hw) for t in tags]
+            tag = jnp.stack(tags, axis=-1)  # (B, J, H, W, T)
+            return heat, tag
 
         if project_hw is not None:
             heat = _resize_bilinear(heat, project_hw)

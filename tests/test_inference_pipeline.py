@@ -276,3 +276,36 @@ def test_flip_concat_matches_twopass():
         params, state, imgs)
     assert jnp.array_equal(heat_c, heat_t)
     assert jnp.array_equal(tag_c, tag_t)
+
+
+def test_decode_layout_commutes_with_projection():
+    """make_infer_fn(decode_layout=True) — transpose at the aggregation
+    resolution, then NCHW projection — must be bit-identical to the
+    NHWC-project-then-transpose path (to_decode_layout after projection):
+    bilinear resize acts on the H/W dims with the same 1D kernels either
+    way, so the two orders commute exactly."""
+    import jax
+
+    from litepose_tpu.core.inference import make_infer_fn, to_decode_layout
+
+    ref, engine, flags = _build_pair()
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, (2, 192, 192, 3), np.uint8)
+
+    base = make_infer_fn(engine.apply_fn, flags, project_hw=(192, 192))
+    dl = make_infer_fn(engine.apply_fn, flags, project_hw=(192, 192),
+                       decode_layout=True)
+    heat, tag = jax.jit(base)(engine.params, engine.state, imgs)
+    det_ref, tag_ref = to_decode_layout(heat, tag)
+    det, tagt = jax.jit(dl)(engine.params, engine.state, imgs)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det_ref))
+    np.testing.assert_array_equal(np.asarray(tagt), np.asarray(tag_ref))
+
+    # and without projection (pure transpose reorder)
+    base = make_infer_fn(engine.apply_fn, flags)
+    dl = make_infer_fn(engine.apply_fn, flags, decode_layout=True)
+    heat, tag = jax.jit(base)(engine.params, engine.state, imgs)
+    det_ref, tag_ref = to_decode_layout(heat, tag)
+    det, tagt = jax.jit(dl)(engine.params, engine.state, imgs)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det_ref))
+    np.testing.assert_array_equal(np.asarray(tagt), np.asarray(tag_ref))
