@@ -35,19 +35,25 @@ from .runtime import resolve_interpret
 HUGE_I = 2**31 - 1
 
 
-def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K):
+def _refine_kernel(need_ref, prev_ref, det_ref, tag_ref, pos_ref, scr_ref, *,
+                   P, H, W, T, K):
     """Grid step (b, k): penalized argmax for the image's person slots.
 
-    n_ref:    (1, 1, 1) i32 SMEM — number of live person slots (dynamic loop
-        bound: empty slots cost nothing, mirroring the reference which
-        only refines actual persons)
+    need_ref: (1, K, P) i32 SMEM — 1 where the epilogue will consume the
+        argmax, i.e. the joint is MISSING (score 0) on a live person.  The
+        reference only fills missing joints (group.py:199-267), so the
+        argmax for already-detected joints is discarded work; predicating
+        each (person, joint) pair on it skips most full-plane passes on
+        real scenes (measured 31.9 -> 13.0 ms/b32 at 448^2, PERF_NOTES
+        round-4).  Skipped slots are written as 0 (masked by the caller).
     prev_ref: (1, P, T) f32 SMEM — per-person mean tags
     det_ref:  (1, 1, H, W) f32 VMEM
     tag_ref:  (1, 1, T, H, W) f32 VMEM
     pos_ref:  (1, K, P) i32 VMEM out — flat row-major argmax index; the
         block spans all K (Mosaic needs ≥8-divisible or full trailing
         dims) and stays resident across the inner k grid steps.
-        Slots >= n are written as 0 (masked by the caller).
+    scr_ref:  (1, P) i32 VMEM scratch — accumulates the row so the
+        predicated region can write one-hot updates.
     """
     k = pl.program_id(1)
     x = det_ref[0, 0]  # (H, W)
@@ -56,38 +62,39 @@ def _refine_kernel(n_ref, prev_ref, det_ref, tag_ref, pos_ref, *, P, H, W, T, K)
         + lax.broadcasted_iota(jnp.int32, (H, W), 1)
     )
     iota_sp = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    scr_ref[...] = jnp.zeros((1, P), jnp.int32)
 
     # all-vector: (1,1) keepdims reductions + one-hot accumulation into a
-    # (1, P) register written once — per-slot scalar stores would serialize
-    # on ~0.5 us vector->scalar round-trips
-    def body(p, poss):
-        if T == 1:
-            tt = jnp.abs(tag_ref[0, 0, 0] - prev_ref[0, p, 0])
-        else:
-            acc = jnp.zeros((H, W), jnp.float32)
-            for t in range(T):
-                d = tag_ref[0, 0, t] - prev_ref[0, p, t]
-                acc = acc + d * d
-            tt = jnp.sqrt(acc)
-        penal = x - jnp.round(tt)
-        mv = jnp.max(jnp.max(penal, axis=1, keepdims=True), axis=0,
-                     keepdims=True)  # (1, 1)
-        cand = jnp.where(penal == mv, idx, HUGE_I)
-        pos = jnp.min(jnp.min(cand, axis=1, keepdims=True), axis=0,
-                      keepdims=True)  # (1, 1)
-        return jnp.where(iota_sp == p, pos, poss)
+    # (1, P) register — per-slot scalar stores would serialize on ~0.5 us
+    # vector->scalar round-trips
+    def body(p, carry):
+        @pl.when(need_ref[0, k, p] > 0)
+        def _():
+            if T == 1:
+                tt = jnp.abs(tag_ref[0, 0, 0] - prev_ref[0, p, 0])
+            else:
+                acc = jnp.zeros((H, W), jnp.float32)
+                for t in range(T):
+                    d = tag_ref[0, 0, t] - prev_ref[0, p, t]
+                    acc = acc + d * d
+                tt = jnp.sqrt(acc)
+            penal = x - jnp.round(tt)
+            mv = jnp.max(jnp.max(penal, axis=1, keepdims=True), axis=0,
+                         keepdims=True)  # (1, 1)
+            cand = jnp.where(penal == mv, idx, HUGE_I)
+            pos = jnp.min(jnp.min(cand, axis=1, keepdims=True), axis=0,
+                          keepdims=True)  # (1, 1)
+            scr_ref[...] = jnp.where(iota_sp == p, pos, scr_ref[...])
+        return carry
 
-    poss = lax.fori_loop(
-        0, jnp.minimum(n_ref[0, 0, 0], P), body,
-        jnp.zeros((1, P), jnp.int32),
-    )
-    pos_ref[0, k] = poss[0]
+    lax.fori_loop(0, P, body, jnp.int32(0))
+    pos_ref[0, k] = scr_ref[0]
 
 
-def refine_argmax_pallas(n_people, prev, det, tag_t, interpret=None):
-    """n_people (B,) i32, prev (B,P,T) f32, det (B,K,H,W) f32,
+def refine_argmax_pallas(need, prev, det, tag_t, interpret=None):
+    """need (B,K,P) i32, prev (B,P,T) f32, det (B,K,H,W) f32,
     tag_t (B,K,T,H,W) f32 -> pos (B,K,P) i32 (flat row-major argmax of
-    det - round(||tag-prev||); slots >= n_people[b] are written as 0)."""
+    det - round(||tag-prev||); slots with need == 0 are written as 0)."""
     B, K, H, W = det.shape
     P, T = prev.shape[1], prev.shape[2]
     kern = functools.partial(_refine_kernel, P=P, H=H, W=W, T=T, K=K)
@@ -95,8 +102,7 @@ def refine_argmax_pallas(n_people, prev, det, tag_t, interpret=None):
         kern,
         grid=(B, K),
         in_specs=[
-            # (B, 1, 1): Mosaic rejects rank-1 / non-full trailing blocks
-            pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, K, P), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, P, T), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -108,8 +114,9 @@ def refine_argmax_pallas(n_people, prev, det, tag_t, interpret=None):
         out_specs=pl.BlockSpec((1, K, P), lambda b, k: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, K, P), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.int32)],
         interpret=resolve_interpret(interpret),
-    )(n_people.reshape(B, 1, 1), prev, det, tag_t)
+    )(need, prev, det, tag_t)
 
 
 def refine_batch(people, det, tag, interpret=None):
@@ -135,18 +142,19 @@ def refine_batch(people, det, tag, interpret=None):
         / cnt[..., None]
     )  # (B, P, T)
 
-    # live person slots: clusters are assigned contiguously, but guard
-    # against arbitrary callers by using (last live slot + 1)
+    # the argmax is only consumed where a live person is MISSING the joint
+    # (fill = val > 0 & kp_v == 0 below); predicate the kernel on exactly
+    # those (person, joint) pairs
     exists = jnp.any(sel, axis=-1)  # (B, P)
-    n_people = jnp.max(
-        jnp.where(exists, jnp.arange(1, P + 1)[None, :], 0), axis=-1
-    ).astype(jnp.int32)  # (B,)
+    need = (exists[..., None] & (~sel)).astype(jnp.int32)  # (B, P, K)
 
     # ---- penalized argmax, one pass over det/tag (Pallas) ----
     tag_t = jnp.transpose(tag, (0, 1, 4, 2, 3))  # (B, K, T, H, W)
-    pos = refine_argmax_pallas(n_people, prev, det, tag_t, interpret)  # (B, K, P)
+    pos = refine_argmax_pallas(
+        jnp.transpose(need, (0, 2, 1)), prev, det, tag_t, interpret
+    )  # (B, K, P)
     pos = jnp.transpose(pos, (0, 2, 1))  # (B, P, K)
-    # dead slots carry pos 0 (in range); results are masked by `exists`
+    # skipped slots carry pos 0 (in range); results are masked by `fill`
 
     # ---- gather + quarter-pixel + fill epilogue (tiny, XLA) ----
     py = pos // W

@@ -93,8 +93,9 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r,
             roh = riota == rfirst  # (H, 1)
             if gather == "dot":
                 # one-hot row select on the MXU: (1,H)x(H,W) fp32 matvec.
-                # Exact: each output col sums one v*1.0 plus zeros (the
-                # fp32->3xbf16 MXU decomposition reconstructs v exactly).
+                # NOT bit-exact on hardware (bf16-split MXU passes round by
+                # an ulp on some values — measured on-chip, round 4); keep
+                # only for throughput experiments, never the exact path.
                 roh_t = (riota_t == rfirst).astype(jnp.float32)  # (1, H)
                 row = jax.lax.dot_general(
                     roh_t, plane, (((1,), (0,)), ((), ())),
@@ -136,6 +137,13 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
 
     Equivalent to ``heatmap_nms(det, k, k//2)`` (fp32) followed by
     ``lax.top_k`` over the flattened plane.
+
+    _gather: row-select strategy during extraction.  'sum' (default) runs
+    the one-hot row select as a VPU masked reduction — exact.  'dot' (an
+    MXU fp32 matvec) measured faster (12.50 vs 14.71 ms at 448^2/b32) but
+    is NOT bit-exact on hardware: the MXU computes fp32 through bf16-split
+    passes whose reconstruction can be off by an ulp (verified diverging
+    on-chip, round-4), so the exact decode path must not use it.
     """
     B, K, H, W = det.shape
     M = max_people
