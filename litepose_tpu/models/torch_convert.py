@@ -143,6 +143,82 @@ def litepose_from_torch(
     return params, state
 
 
+def _inv_conv_w(w) -> np.ndarray:
+    """HWIO -> torch OIHW (inverse of :func:`conv_w`)."""
+    return np.asarray(w, np.float32).transpose(3, 2, 0, 1)
+
+
+def _inv_deconv_w(w) -> np.ndarray:
+    """Flipped HWOI -> torch IOHW (inverse of :func:`deconv_w`)."""
+    w = np.asarray(w, np.float32)[::-1, ::-1]
+    return w.transpose(2, 3, 0, 1).copy()
+
+
+def litepose_to_torch(
+    params, state, spec: ModelSpec, arch: ArchConfig, with_skips: bool = True
+) -> Dict[str, np.ndarray]:
+    """(params, state) pytrees -> reference-layout LitePose state_dict
+    (numpy fp32 values; exact inverse of :func:`litepose_from_torch`).
+
+    Lets checkpoints trained in this framework run in the reference
+    (``/root/reference/lib/models/pose_mobilenet.py``) — e.g. for oracle
+    parity at protocol resolution with trained weights — and round-trips
+    bit-exactly with ``litepose_from_torch`` (tests/test_litepose_torch_parity).
+    BN ``num_batches_tracked`` entries are emitted as zeros (torch tracks
+    them but eval-mode BN never reads them)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_bn(prefix, p_bn, s_bn):
+        sd[f"{prefix}.weight"] = np.asarray(p_bn["scale"], np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(p_bn["bias"], np.float32)
+        sd[f"{prefix}.running_mean"] = np.asarray(s_bn["mean"], np.float32)
+        sd[f"{prefix}.running_var"] = np.asarray(s_bn["var"], np.float32)
+        sd[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    def put_cbr(prefix, p, s):
+        sd[f"{prefix}.0.weight"] = _inv_conv_w(p["conv"]["w"])
+        put_bn(f"{prefix}.1", p["bn"], s["bn"])
+
+    put_cbr("first.0", params["first"]["cbr0"], state["first"]["cbr0"])
+    put_cbr("first.1", params["first"]["cbr1"], state["first"]["cbr1"])
+    sd["first.2.weight"] = _inv_conv_w(params["first"]["conv2"]["w"])
+    put_bn("first.3", params["first"]["bn2"], state["first"]["bn2"])
+
+    for si, st in enumerate(arch.backbone_setting):
+        for bi in range(st.num_blocks):
+            pre = f"stage.{si}.{bi}"
+            bp = params["stage"][si][bi]
+            bs = state["stage"][si][bi]
+            for ours, theirs in (("inv", "inv"), ("depth", "depth_conv"),
+                                 ("point", "point_conv")):
+                sd[f"{pre}.{theirs}.0.weight"] = _inv_conv_w(bp[ours]["conv"]["w"])
+                put_bn(f"{pre}.{theirs}.1", bp[ours]["bn"], bs[ours]["bn"])
+
+    n_deconv = spec.num_deconv_layers
+    for i in range(n_deconv):
+        sd[f"deconv_refined.{i}.weight"] = _inv_deconv_w(
+            params["deconv_refined"][i]["w"])
+        if with_skips:
+            sd[f"deconv_raw.{i}.weight"] = _inv_deconv_w(
+                params["deconv_raw"][i]["w"])
+        put_bn(f"deconv_bnrelu.{i}.0", params["deconv_bn"][i],
+               state["deconv_bn"][i])
+
+    def put_sep(prefix, p, s):
+        sd[f"{prefix}.conv.0.weight"] = _inv_conv_w(p["dw"]["conv"]["w"])
+        put_bn(f"{prefix}.conv.1", p["dw"]["bn"], s["dw"]["bn"])
+        sd[f"{prefix}.conv.3.weight"] = _inv_conv_w(p["pw"]["conv"]["w"])
+
+    for i in range(n_deconv - 1):
+        put_sep(f"final_refined.{i}", params["final_refined"][i],
+                state["final_refined"][i])
+        if with_skips:
+            put_sep(f"final_raw.{i}", params["final_raw"][i],
+                    state["final_raw"][i])
+
+    return sd
+
+
 def hrnet_from_torch(sd: Mapping[str, Any], spec) -> Tuple[dict, dict]:
     """Build (params, state) for ``higher_hrnet`` from a reference
     PoseHigherResolutionNet state_dict

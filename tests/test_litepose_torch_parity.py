@@ -102,3 +102,31 @@ def test_train_mode_updates_bn_state():
     before = state["first"]["cbr0"]["bn"]["mean"]
     after = new_state["first"]["cbr0"]["bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_to_torch_roundtrip_and_strict_load():
+    """litepose_to_torch is the exact inverse of litepose_from_torch: the
+    emitted state_dict loads strict=True into the reference model and
+    round-trips back to bit-identical pytrees."""
+    import jax
+    import torch
+
+    from litepose_tpu.models.torch_convert import litepose_to_torch
+
+    arch = get_arch("search-XS").with_img_size(64)
+    spec = ModelSpec(num_joints=14)
+    params, state = init_litepose(jax.random.PRNGKey(5), spec, arch)
+
+    sd = litepose_to_torch(params, state, spec, arch)
+    ref = _make_ref_model(arch.to_dict())
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+
+    p2, s2 = litepose_from_torch(ref.state_dict(), spec, arch)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((params, state)),
+        jax.tree_util.tree_leaves((p2, s2)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
