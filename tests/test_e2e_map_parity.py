@@ -205,6 +205,147 @@ def test_serving_approximations_quantified(harness):
     assert ap_approx >= ap_ref - 0.05
 
 
+PROTOCOL_SIZE = 448  # Auto-S eval resolution (/root/reference/valid.py:104-111)
+N_PROTO_SCENES = 8
+
+
+def test_protocol_resolution_trained_ckpt():
+    """End-to-end parity at the ACTUAL protocol resolution (448, Auto-S)
+    with TRAINED weights — not the 192/random-weight proxy above.
+
+    The trained bench checkpoint (assets/bench_ckpt.msgpack) is converted
+    to a reference-layout torch state_dict (``litepose_to_torch``) and
+    loaded strict=True into the reference model; both pipelines then decode
+    the same multi-person scenes with real peaked heatmaps at the
+    mobile.yaml protocol (flip test + project2image + adjust/refine,
+    /root/reference/valid.py:195-245)."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "bench_ckpt.msgpack")
+    if not os.path.isfile(ckpt):
+        pytest.skip("trained bench checkpoint not present")
+
+    add_reference_to_path()
+    _install_munkres_shim()
+    import jax
+    import torch
+
+    from test_litepose_torch_parity import _make_ref_model
+
+    from litepose_tpu.arch.zoo import get_arch
+    from litepose_tpu.core.inference import InferenceFlags
+    from litepose_tpu.data.flip import flip_index_for
+    from litepose_tpu.data.synthetic import bench_scene_batch
+    from litepose_tpu.models.layers import Policy
+    from litepose_tpu.models.litepose import (ModelSpec, apply_litepose,
+                                              init_litepose)
+    from litepose_tpu.models.torch_convert import litepose_to_torch
+    from litepose_tpu.train.checkpoint import load_params
+    from utils import transforms as ref_t  # reference module
+
+    arch = get_arch("auto-S")
+    spec = ModelSpec(num_joints=NUM_JOINTS)
+    params, state = init_litepose(jax.random.PRNGKey(0), spec, arch)
+    params, state = load_params(ckpt, params, state)
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in litepose_to_torch(params, state, spec, arch).items()}
+    ref_model = _make_ref_model(arch.to_dict(), num_joints=NUM_JOINTS)
+    ref_model.load_state_dict(sd, strict=True)
+    ref_model.eval()
+
+    def apply_fn(p, s, x):
+        outs, _ = apply_litepose(p, s, x, spec, arch, train=False,
+                                 policy=Policy.exact())
+        return outs
+
+    flags = InferenceFlags(
+        num_joints=NUM_JOINTS,
+        with_heatmaps_loss=(True, True), with_ae_loss=(True, False),
+        test_with_heatmaps=(True, True), test_with_ae=(True, False),
+        flip_test=True, flip_index=tuple(flip_index_for("crowd_pose_kpt")),
+        project2image=True,
+    )
+    group = GroupParams(num_joints=NUM_JOINTS, detection_threshold=0.1,
+                        nms_kernel=5, nms_padding=2)
+    engine = PoseEngine(
+        apply_fn, params, state, flags, group,
+        EngineConfig(input_size=PROTOCOL_SIZE, scale_factors=(1.0,),
+                     project2image=True),
+    )
+    parser = _ref_parser(group)
+    pipe = _RefPipeline(ref_model, NUM_JOINTS, flags.flip_index,
+                        PROTOCOL_SIZE, True)
+
+    # trained-distribution scenes at two source sizes (square + cropped)
+    base = bench_scene_batch(N_PROTO_SCENES, 512, seed=101)
+    scenes = []
+    for i in range(N_PROTO_SCENES):
+        img = base[i] if i % 2 == 0 else base[i][:448, :, :]
+        scenes.append((i, img))
+
+    ref_results = {}
+    for iid, img in scenes:
+        heat, tag, center, scale = pipe.heat_tag(img)
+        grouped, scores = parser.parse(
+            torch.from_numpy(heat), torch.from_numpy(tag),
+            adjust=True, refine=True,
+        )
+        finals = ref_t.get_final_preds(
+            grouped, center, scale, [heat.shape[3], heat.shape[2]]
+        )
+        ref_results[iid] = _to_results(iid, finals, [float(s) for s in scores])
+
+    ours = _run_engine(engine, scenes)
+
+    # Cross-backend fp limits of this comparison (measured, round 4):
+    # torch-CPU and XLA-CPU convs differ at ~1e-4 relative (gemm blocking
+    # reassociation), which on sharp trained peaks (a) flips quarter-pixel
+    # adjust comparisons — a ±0.5 px keypoint shift — and (b) flips whether
+    # a near-0.1-threshold WEAK person exists at all.  Neither is a
+    # pipeline divergence, so people are matched by sub-pixel keypoint
+    # proximity (0.75 px) rather than strict equality, surplus people must
+    # be weak, and metric-level parity is pinned through AP.
+    total, matched, tight, dists, surplus = 0, 0, 0, [], []
+    for iid, _ in scenes:
+        r, o = ref_results[iid], ours[iid]
+        used = set()
+        for pr in sorted(r, key=lambda d: -d["score"]):
+            total += 1
+            kr = np.asarray(pr["keypoints"], np.float64).reshape(-1, 3)
+            best, best_d = None, np.inf
+            for j, po in enumerate(o):
+                if j in used:
+                    continue
+                ko = np.asarray(po["keypoints"], np.float64).reshape(-1, 3)
+                d = float(np.max(np.abs(kr[:, :2] - ko[:, :2])))
+                if d < best_d:
+                    best, best_d = j, d
+            if best is not None and best_d <= 0.75:
+                used.add(best)
+                matched += 1
+                tight += best_d <= 1e-2
+                dists.append(best_d)
+        surplus += [o[j]["score"] for j in range(len(o)) if j not in used]
+    assert total >= N_PROTO_SCENES, "degenerate harness: almost nothing decoded"
+    print(f"\n448 trained-ckpt person agreement: {matched}/{total} "
+          f"({tight} bit-tight, median d={np.median(dists):.4f} px, "
+          f"+{len(surplus)} surplus)")
+    assert matched / total >= 0.95, \
+        f"only {matched}/{total} people match the reference at 448"
+    assert len(surplus) <= max(1, total // 10), f"surplus people: {surplus}"
+    assert all(s < 0.2 for s in surplus), \
+        f"surplus people must be weak near-threshold decodes: {surplus}"
+
+    gt = FakeGT(_gt_from_results(ref_results))
+    ap_ref = _ap(gt, ref_results)
+    ap_ours = _ap(gt, ours)
+    print(f"448 trained-ckpt AP ref-pipeline={ap_ref:.4f} ours={ap_ours:.4f}")
+    assert ap_ref > 0.5
+    assert abs(ap_ours - ap_ref) <= 0.01
+
+
 MS_SCALES = (0.5, 1.0, 2.0)
 N_MS_SCENES = 10
 
