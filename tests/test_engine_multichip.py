@@ -62,10 +62,20 @@ needs_8_devices = pytest.mark.skipif(
 )
 
 
+def _chunked_ref(eng, imgs, per_dev):
+    """Single-device reference at the SAME per-device batch the sharded run
+    uses.  A full-batch single-device run is not comparable bit-for-bit:
+    XLA's conv/gemm blocking reassociates fp sums per batch shape, so the
+    sharding contract is program-shape-for-program-shape identity."""
+    outs = [eng.process_batch_square(imgs[i:i + per_dev])
+            for i in range(0, len(imgs), per_dev)]
+    return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
+
+
 @needs_8_devices
 def test_sharded_serving_matches_single_device():
     imgs = _imgs(8)
-    ref_people, ref_scores, ref_n = _engine(mesh=None).process_batch_square(imgs)
+    ref_people, ref_scores, ref_n = _chunked_ref(_engine(mesh=None), imgs, 1)
     eng = _engine(mesh=make_mesh(8))
     people, scores, n = eng.process_batch_square(imgs)
     np.testing.assert_array_equal(n, ref_n)
@@ -77,8 +87,9 @@ def test_sharded_serving_matches_single_device():
 def test_sharded_serving_exact_decode_and_flip():
     # eval-grade decode (exact top-k + Hungarian) + flip test also shards
     imgs = _imgs(8)
-    ref = _engine(assignment="hungarian", topk_method="exact",
-                  flip=True).process_batch_square(imgs)
+    ref = _chunked_ref(
+        _engine(assignment="hungarian", topk_method="exact", flip=True),
+        imgs, 1)
     got = _engine(mesh=make_mesh(8), assignment="hungarian",
                   topk_method="exact", flip=True).process_batch_square(imgs)
     np.testing.assert_array_equal(got[2], ref[2])
