@@ -125,7 +125,24 @@ def test_search_cli(assets):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     d = json.load(open(out))
-    assert "acc" in d and "img_size" in d["arch"]
+    # schema must match the reference's search_result.json byte layout:
+    # {"0": [constraint, [acc, arch_dict, eff]]}
+    # (/root/reference/search.py:134-139)
+    ref_path = "/root/reference/arch_search/result/search_result.json"
+    if os.path.exists(ref_path):
+        ref = json.load(open(ref_path))
+        ref_entry, got_entry = ref["0"], d["0"]
+        assert isinstance(got_entry, list) and len(got_entry) == 2
+        acc_arch_eff = got_entry[1]
+        assert len(acc_arch_eff) == 3
+        assert sorted(acc_arch_eff[1].keys()) == sorted(ref_entry[1][1].keys())
+    else:
+        got_entry = d["0"]
+        acc_arch_eff = got_entry[1]
+    assert isinstance(acc_arch_eff[0], float)  # acc
+    assert "img_size" in acc_arch_eff[1]  # arch
+    assert isinstance(acc_arch_eff[2], float)  # eff (GMACs)
+    assert os.path.exists(out + ".history.json")
 
 
 def test_demo_cli(assets):

@@ -73,9 +73,19 @@ def main():
     best_acc, best_arch, history = finder.run_evolution_search(
         args.constraint, logger=logger
     )
-    logger.info(f"best AP {best_acc:.4f} at {eff(best_arch):.2f} GMACs")
+    best_eff = eff(best_arch)
+    logger.info(f"best AP {best_acc:.4f} at {best_eff:.2f} GMACs")
+    # Reference-compatible result schema: {"0": [constraint, [acc, arch,
+    # eff]]} (/root/reference/search.py:134-139 writes
+    # dict[0] = (efficiency_constraint, (best_acc, best_arch, best_eff))).
+    # Any consumer of the reference's search_result.json reads ours
+    # unchanged; the per-iteration history goes to a sidecar file.
     with open(args.out, "w") as f:
-        json.dump({"acc": best_acc, "arch": best_arch.to_dict(), "history": history}, f)
+        json.dump(
+            {0: (args.constraint, (best_acc, best_arch.to_dict(), best_eff))}, f
+        )
+    with open(args.out + ".history.json", "w") as f:
+        json.dump(history, f)
     logger.info(f"wrote {args.out}")
 
 
