@@ -436,3 +436,7 @@ def apply_efficient_hrnet(params, state, x, spec: EffHRNetSpec, train=False,
         final_outputs.append(out.astype(jnp.float32))
     ns["deconv"] = dec_ns
     return final_outputs, ns
+
+
+# jit + persistent-cache the init graph (see layers.jit_init)
+init_efficient_hrnet = L.jit_init(init_efficient_hrnet, ("spec",))

@@ -457,3 +457,7 @@ def apply_higher_hrnet(params, state, x, spec: HRNetSpec, train=False,
         final_outputs.append(out.astype(jnp.float32))
     ns["deconv"] = deconv_ns
     return final_outputs, ns
+
+
+# jit + persistent-cache the init graph (see layers.jit_init)
+init_higher_hrnet = L.jit_init(init_higher_hrnet, ("spec",))

@@ -369,3 +369,26 @@ def upconv_apply(p, s, x, train=False, policy=DEFAULT_POLICY):
     y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     y = conv(p["conv"], y, policy=policy)
     return y, {}
+
+
+def jit_init(fn, static_argnames):
+    """Wrap a model-init function under ``jax.jit``.
+
+    Init graphs are thousands of tiny RNG/zeros ops; dispatching them
+    eagerly dominates model construction on CPU hosts (LitePose-Auto-XS:
+    ~21 s eager vs ~1 s jitted-warm on this 1-core host).  Under jit the
+    whole init compiles once and lands in the persistent compilation cache
+    (utils/compile_cache.py), so test suites and CLI restarts start warm.
+    List-valued args are tuple-ified so they hash as static."""
+    import functools
+
+    jfn = jax.jit(fn, static_argnames=static_argnames)
+
+    @functools.wraps(fn)
+    def wrapped(key, *args, **kwargs):
+        args = tuple(tuple(a) if isinstance(a, list) else a for a in args)
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in kwargs.items()}
+        return jfn(key, *args, **kwargs)
+
+    return wrapped

@@ -221,3 +221,7 @@ def apply_litepose(
             final_outputs.append(out.astype(out_dtype))
 
     return final_outputs, ns
+
+
+# jit + persistent-cache the init graph (see layers.jit_init)
+init_litepose = L.jit_init(init_litepose, ("spec", "arch", "with_skips"))

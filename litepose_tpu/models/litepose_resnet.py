@@ -281,3 +281,10 @@ def apply_super_litepose_resnet(params, state, x, mask_desc, spec: ModelSpec,
             fw = fw + p["final_raw"][i - 1]["b"].astype(fw.dtype)
             final_outputs.append((fo + fw).astype(jnp.float32))
     return final_outputs, ns
+
+
+# jit + persistent-cache the init graphs (see layers.jit_init)
+init_litepose_resnet = L.jit_init(
+    init_litepose_resnet, ("spec", "width_mult", "deconv_filters", "deconv_kernels"))
+init_super_litepose_resnet = L.jit_init(
+    init_super_litepose_resnet, ("spec", "deconv_filters", "deconv_kernels"))

@@ -509,3 +509,7 @@ def reorganize_weights(params, state):
                 blk["inv"]["conv"]["w"] = blk["inv"]["conv"]["w"][:, :, idx, :]
         permute_raw_consumers(1 + si, idx)
     return params, state
+
+
+# jit + persistent-cache the init graph (see layers.jit_init)
+init_super_litepose = L.jit_init(init_super_litepose, ("spec", "dims"))

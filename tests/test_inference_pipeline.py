@@ -200,9 +200,16 @@ def _build_pair(arch_name="search-XS", input_size=192, num_joints=14):
     return ref, engine, flags
 
 
-def test_engine_heat_tag_matches_reference_pipeline():
+@pytest.fixture(scope="module")
+def built_pair():
+    """One torch-reference + converted-engine build shared by the module's
+    e2e tests (the build is the expensive part, ~10 s)."""
     add_reference_to_path()
-    ref, engine, flags = _build_pair()
+    return _build_pair()
+
+
+def test_engine_heat_tag_matches_reference_pipeline(built_pair):
+    ref, engine, flags = built_pair
     rng = np.random.default_rng(0)
     image = rng.integers(0, 255, (150, 210, 3), np.uint8)
 
@@ -225,11 +232,10 @@ def test_engine_heat_tag_matches_reference_pipeline():
     np.testing.assert_allclose(tag, ref_tag, atol=5e-4, rtol=1e-3)
 
 
-def test_engine_process_end_to_end():
+def test_engine_process_end_to_end(built_pair):
     """Full engine.process returns people in source coordinates; verified
     against the numpy oracle decode + inverse affine on identical maps."""
-    add_reference_to_path()
-    ref, engine, flags = _build_pair()
+    ref, engine, flags = built_pair
     rng = np.random.default_rng(1)
     image = rng.integers(0, 255, (150, 210, 3), np.uint8)
 
@@ -271,14 +277,15 @@ def test_flip_concat_matches_twopass():
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (2, arch.img_size, arch.img_size, 3)).astype(np.uint8)
 
-    heat_c, tag_c = make_infer_fn(apply_fn, flags)(params, state, imgs)
-    heat_t, tag_t = make_infer_fn(apply_fn, flags._replace(flip_mode="twopass"))(
-        params, state, imgs)
+    heat_c, tag_c = jax.jit(make_infer_fn(apply_fn, flags))(params, state, imgs)
+    heat_t, tag_t = jax.jit(
+        make_infer_fn(apply_fn, flags._replace(flip_mode="twopass"))
+    )(params, state, imgs)
     assert jnp.array_equal(heat_c, heat_t)
     assert jnp.array_equal(tag_c, tag_t)
 
 
-def test_decode_layout_commutes_with_projection():
+def test_decode_layout_commutes_with_projection(built_pair):
     """make_infer_fn(decode_layout=True) — transpose at the aggregation
     resolution, then NCHW projection — must be bit-identical to the
     NHWC-project-then-transpose path (to_decode_layout after projection):
@@ -288,7 +295,7 @@ def test_decode_layout_commutes_with_projection():
 
     from litepose_tpu.core.inference import make_infer_fn, to_decode_layout
 
-    ref, engine, flags = _build_pair()
+    ref, engine, flags = built_pair
     rng = np.random.default_rng(4)
     imgs = rng.integers(0, 255, (2, 192, 192, 3), np.uint8)
 

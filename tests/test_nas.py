@@ -90,9 +90,11 @@ def test_fold_bn_preserves_outputs():
         state,
     )
     x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
-    outs_a, _ = apply_litepose(params, state, x, spec, arch, policy=Policy.exact())
+    fwd = jax.jit(lambda p, s, x: apply_litepose(
+        p, s, x, spec, arch, policy=Policy.exact()))
+    outs_a, _ = fwd(params, state, x)
     fp, fs = fold_litepose_bn(params, state)
-    outs_b, _ = apply_litepose(fp, fs, x, spec, arch, policy=Policy.exact())
+    outs_b, _ = fwd(fp, fs, x)
     for a, b in zip(outs_a, outs_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
     # fold really removed the normalization (identity stats)

@@ -40,16 +40,16 @@ def _setup(img=64):
 
 def test_masked_forward_matches_extracted_subnet():
     manager, dims, spec, params, state, x = _setup()
+    # mask_desc is traced, so ONE jitted super-forward covers all ratios
+    super_fwd = jax.jit(lambda p, s, x, d: apply_super_litepose(
+        p, s, x, d, spec, dims, train=False, policy=EXACT))
     for ratio in (0.25, 0.5, 1.0):
         arch = manager.fixed_sample(reso=64, ratio=ratio)
         desc = arch_to_mask_desc(arch, manager)
-        outs_m, _ = apply_super_litepose(
-            params, state, x, desc, spec, dims, train=False, policy=EXACT
-        )
+        outs_m, _ = super_fwd(params, state, x, desc)
         sub_p, sub_s = extract_subnet(params, state, arch, dims, spec)
-        outs_s, _ = apply_litepose(
-            sub_p, sub_s, x, spec, arch, train=False, policy=EXACT
-        )
+        outs_s, _ = jax.jit(lambda p, s, x, arch=arch: apply_litepose(
+            p, s, x, spec, arch, train=False, policy=EXACT))(sub_p, sub_s, x)
         for a, b in zip(outs_m, outs_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
 
