@@ -40,6 +40,74 @@ NEG = -3.0e38
 HUGE_I = 2**31 - 1
 
 
+def _nms_topk_kernel_vec(x_ref, val_ref, pos_ref, xs, *, H, W, M, KB, r):
+    """Grid step (b, j): NMS + exact top-M, VECTORIZED across the KB planes.
+
+    The per-plane variant below issues its extraction ops plane-by-plane —
+    at M=30 that is ~10^5 small vector ops per decode and the kernel is
+    instruction-issue-bound, not compute-bound (measured 108 us/step at
+    448^2 with KB=4, ~60% in sub-(H,1) op issue).  Here every extraction
+    step runs as (KB, H)/(KB, W)/(KB, M) ops covering all planes of the
+    chunk at once, and the VMEM budget is sized so KB == K (all 14 joint
+    planes in one grid step at 448^2): small-op count drops ~KB-fold.
+    Results are bit-identical to the per-plane kernel (same reductions,
+    same tie arithmetic, per-plane lanes independent)."""
+    j = pl.program_id(1)
+    X = x_ref[0].astype(jnp.float32)  # (KB, H, W)
+
+    # ---- separable maxpool-equality NMS, all planes at once ----
+    m = X
+    for d in range(1, r + 1):
+        up = jnp.concatenate([X[:, d:], jnp.full((KB, d, W), NEG, X.dtype)], axis=1)
+        dn = jnp.concatenate([jnp.full((KB, d, W), NEG, X.dtype), X[:, :-d]], axis=1)
+        m = jnp.maximum(m, jnp.maximum(up, dn))
+    mm = m
+    for d in range(1, r + 1):
+        lf = jnp.concatenate([m[:, :, d:], jnp.full((KB, H, d), NEG, m.dtype)], axis=2)
+        rt = jnp.concatenate([jnp.full((KB, H, d), NEG, m.dtype), m[:, :, :-d]], axis=2)
+        mm = jnp.maximum(mm, jnp.maximum(lf, rt))
+    xs[...] = jnp.where(mm == X, X, jnp.zeros_like(X))
+
+    # ---- row-hierarchical exact top-M (read-only plane; see below) ----
+    RM = jnp.max(xs[...], axis=2)  # (KB, H) per-row maxes
+    riota = lax.broadcasted_iota(jnp.int32, (KB, H), 1)
+    ciota = lax.broadcasted_iota(jnp.int32, (KB, W), 1)
+    iota_sm = lax.broadcasted_iota(jnp.int32, (KB, M), 1)
+
+    vals = jnp.full((KB, M), NEG, jnp.float32)
+    poss = jnp.zeros((KB, M), jnp.int32)
+    for i in range(M):
+        mv = jnp.max(RM, axis=1, keepdims=True)  # (KB, 1)
+        rfirst = jnp.min(
+            jnp.where(RM == mv, riota, HUGE_I), axis=1, keepdims=True
+        )  # (KB, 1) first max row per plane (lax.top_k tie order)
+        roh = riota == rfirst  # (KB, H)
+        # mask built in fp32 at (KB, H, 1): Mosaic only supports minor-dim
+        # insertion (the [:, :, None] reshape) for 32-bit types, not i1
+        roh3 = jnp.where(roh, 1.0, 0.0)[:, :, None]  # (KB, H, 1) f32
+        row = jnp.sum(xs[...] * roh3, axis=1)  # (KB, W) one-hot row gather
+        if i > 0:
+            # cells of these rows already extracted (slots < i): value ties
+            # would otherwise re-resolve to the same column
+            flat_ids = rfirst * W + ciota  # (KB, W)
+            taken = jnp.any(
+                (poss[:, :, None] == flat_ids[:, None, :])
+                & (iota_sm[:, :, None] < i),
+                axis=1,
+            )  # (KB, W)
+            row = jnp.where(taken, NEG, row)
+        cfirst = jnp.min(
+            jnp.where(row == mv, ciota, HUGE_I), axis=1, keepdims=True
+        )  # (KB, 1)
+        coh = ciota == cfirst  # (KB, W)
+        vals = jnp.where(iota_sm == i, mv, vals)
+        poss = jnp.where(iota_sm == i, rfirst * W + cfirst, poss)
+        row_new = jnp.where(coh, NEG, row)
+        RM = jnp.where(roh, jnp.max(row_new, axis=1, keepdims=True), RM)
+    val_ref[0, pl.ds(j * KB, KB)] = vals
+    pos_ref[0, pl.ds(j * KB, KB)] = poss
+
+
 def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r,
                      gather: str = "sum"):
     """Grid step (b, j): NMS + exact top-M for a chunk of KB joint planes
@@ -131,38 +199,58 @@ def _nms_topk_kernel(x_ref, val_ref, pos_ref, xs, rm, *, H, W, M, KB, r,
                      "_interp"),
 )
 def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
-                    _vmem_budget: int = 10 * 2**20, _gather: str = "sum",
+                    _vmem_budget: int = 48 * 2**20, _gather: str = "vec",
                     _interp=None):
     """det (B, K, H, W) (f32 or bf16) -> (val (B,K,M) f32, pos (B,K,M) i32).
 
     Equivalent to ``heatmap_nms(det, k, k//2)`` (fp32) followed by
-    ``lax.top_k`` over the flattened plane.
+    ``lax.top_k`` over the flattened plane — bit-identical, including
+    first-occurrence tie order.
 
-    _gather: row-select strategy during extraction.  'sum' (default) runs
-    the one-hot row select as a VPU masked reduction — exact.  'dot' (an
-    MXU fp32 matvec) measured faster (12.50 vs 14.71 ms at 448^2/b32) but
-    is NOT bit-exact on hardware: the MXU computes fp32 through bf16-split
-    passes whose reconstruction can be off by an ulp (verified diverging
-    on-chip, round-4), so the exact decode path must not use it.
+    _gather selects the kernel variant:
+      'vec' (default): extraction vectorized across the chunk's KB planes
+        — the production path (the per-plane variants are issue-bound;
+        PERF_NOTES round-4).
+      'sum': per-plane loop, VPU masked-reduction row select — exact,
+        kept as the measurement baseline.
+      'dot': per-plane loop, MXU fp32 matvec row select — measured faster
+        than 'sum' (12.50 vs 14.71 ms at 448^2/b32) but NOT bit-exact on
+        hardware (the MXU computes fp32 through bf16-split passes whose
+        reconstruction can be off by an ulp, verified on-chip, round-4);
+        never the exact path.
     """
     B, K, H, W = det.shape
     M = max_people
     # planes per grid step: the double-buffered input block + fp32 scratch
     # must fit VMEM at any decode resolution (project2image evals reach
-    # ~512x704 planes)
+    # ~512x704 planes).  ~4x per-plane residency (pipelined input blocks +
+    # suppressed-plane scratch); 48 MB budget of the 128 MB v5e VMEM keeps
+    # KB = 14 (all joint planes in one step) through 512x704.
     per_plane = H * W * 4
-    KB = max(1, min(K, _vmem_budget // (3 * per_plane)))
+    KB = max(1, min(K, _vmem_budget // (4 * per_plane)))
     n_chunks = -(-K // KB)
     Kp = n_chunks * KB
     if Kp != K:  # zero-pad; padded planes' outputs are sliced off below
         det = jnp.pad(det, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
-    kern = functools.partial(
-        _nms_topk_kernel, H=H, W=W, M=M, KB=KB, r=nms_kernel // 2,
-        gather=_gather,
-    )
+    if _gather == "vec":
+        kern = functools.partial(
+            _nms_topk_kernel_vec, H=H, W=W, M=M, KB=KB, r=nms_kernel // 2)
+        scratch = [pltpu.VMEM((KB, H, W), jnp.float32)]
+    else:
+        kern = functools.partial(
+            _nms_topk_kernel, H=H, W=W, M=M, KB=KB, r=nms_kernel // 2,
+            gather=_gather,
+        )
+        scratch = [pltpu.VMEM((KB, H, W), jnp.float32),
+                   pltpu.VMEM((KB, H, 1), jnp.float32)]
     val, pos = pl.pallas_call(
         kern,
         grid=(B, n_chunks),
+        # Mosaic's default scoped-VMEM limit is 16 MB; the KB=14 block +
+        # suppressed-plane scratch + NMS temporaries need ~3.5 plane-sets
+        # (measured OOM at 36.75M requested).  v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20),
         in_specs=[
             pl.BlockSpec((1, KB, H, W), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -178,10 +266,7 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
             jax.ShapeDtypeStruct((B, Kp, M), jnp.float32),
             jax.ShapeDtypeStruct((B, Kp, M), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((KB, H, W), jnp.float32),
-            pltpu.VMEM((KB, H, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=resolve_interpret(_interp),
     )(det)
     return val[:, :K], pos[:, :K]

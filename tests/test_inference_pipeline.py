@@ -316,3 +316,27 @@ def test_decode_layout_commutes_with_projection(built_pair):
     det, tagt = jax.jit(dl)(engine.params, engine.state, imgs)
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det_ref))
     np.testing.assert_array_equal(np.asarray(tagt), np.asarray(tag_ref))
+
+
+def test_upsample2x_matches_jax_resize():
+    """The interleave 2x upsample (ops/upsample2x.py) must match
+    jax.image.resize bilinear to one ulp in fp32 (same 2-tap weights; XLA's
+    gather-conv may fma where the interleave form doesn't)."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepose_tpu.ops.upsample2x import upsample2x_bilinear
+
+    rng = np.random.default_rng(0)
+    for shape in [(2, 3, 17, 23), (1, 14, 56, 56), (4, 5, 8, 8)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        ref = jax.image.resize(
+            x, (*shape[:-2], shape[-2] * 2, shape[-1] * 2), "bilinear")
+        out = upsample2x_bilinear(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, rtol=2e-6)
+    # NHWC axes variant agrees bitwise with the NCHW form
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 5)), jnp.float32)
+    a = upsample2x_bilinear(jnp.transpose(x, (0, 3, 1, 2)))
+    b = jnp.transpose(upsample2x_bilinear(x, axes=(1, 2)), (0, 3, 1, 2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -74,18 +74,27 @@ def main():
         print(f"{label:46s} {dt * 1e3:8.2f} ms/b{B} = {B / dt:7.1f} img/s",
               flush=True)
 
-    def kloop(make_body, x, K=4, N=3):
-        def run(x, K):
-            _, acc = lax.fori_loop(0, K, make_body, (x, jnp.float32(0)),
+    def kloop(make_body, x, K=4, N=3, consts=()):
+        # Two tunnel-compile rules (each violated once, each costly):
+        # * large device operands ride as ARGUMENTS (``consts``), never jit
+        #   closures — closed-over buffers serialize into the remote-compile
+        #   request and blow the tunnel's length limit (HTTP 413);
+        # * the trip count K is a TRACED argument, so the K=1 and K=K
+        #   timings share ONE compiled program (remote compiles run minutes
+        #   each; two programs per section doubled every measurement wave).
+        @jax.jit
+        def run(x, K, *consts):
+            def body(i, carry):
+                return make_body(i, carry, *consts)
+            _, acc = lax.fori_loop(0, K, body, (x, jnp.float32(0)),
                                    unroll=False)
             return acc
-        runK = jax.jit(lambda x: run(x, K))
-        run1 = jax.jit(lambda x: run(x, 1))
-        float(run1(x)); float(runK(x))
+        K1 = jnp.int32(1); KK = jnp.int32(K)
+        float(run(x, K1, *consts)); float(run(x, KK, *consts))
         t1s, tKs = [], []
         for _ in range(N):
-            t0 = time.perf_counter(); float(run1(x)); t1s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(runK(x)); tKs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(run(x, K1, *consts)); t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(run(x, KK, *consts)); tKs.append(time.perf_counter() - t0)
         return (float(np.median(tKs)) - float(np.median(t1s))) / (K - 1)
 
     flags = InferenceFlags(
@@ -114,22 +123,22 @@ def main():
         return jnp.clip(x + acc * 1e-9, 0, 255).astype(jnp.uint8)
 
     # ---- 1. flip-concat forward (2B batch, fp32 stage outs) ----------------
-    def fwd_body(i, carry):
+    def fwd_body(i, carry, params, state):
         x, acc = carry
         from litepose_tpu.core.inference import normalize_images
         xn = normalize_images(feedback(x, acc))
         outs = apply_eval(params, state, jnp.concatenate([xn, xn[:, :, ::-1, :]], 0))
         s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
         return x, s * 1e-9
-    t_fwd = kloop(fwd_body, imf)
+    t_fwd = kloop(fwd_body, imf, consts=(params, state))
     report("flip-concat forward (2B)", t_fwd)
 
     # ---- 2. full infer (fwd + flip merge + transpose + project) ------------
-    def infer_body(i, carry):
+    def infer_body(i, carry, params, state):
         x, acc = carry
         det, tagt = infer_proto(params, state, feedback(x, acc))
         return x, (jnp.sum(det) + jnp.sum(tagt)) * 1e-9
-    t_infer = kloop(infer_body, imf)
+    t_infer = kloop(infer_body, imf, consts=(params, state))
     report("infer (fwd + glue + project 448^2)", t_infer)
     report("  -> glue (infer - forward)", t_infer - t_fwd)
 
@@ -141,12 +150,12 @@ def main():
     from litepose_tpu.ops.pallas_topk import top_k_peaks_batch
 
     # ---- 3. exact NMS + top-k at decode resolution -------------------------
-    def topk_body(i, carry):
+    def topk_body(i, carry, tag0):
         d, acc = carry
         tag_k, loc_k, val_k = top_k_peaks_batch(
             d + acc * 1e-30, tag0, gcfg.max_people, gcfg.nms_kernel)
         return d, (jnp.sum(val_k) + jnp.sum(tag_k) + jnp.sum(loc_k)) * 1e-9
-    t_topk = kloop(topk_body, det0)
+    t_topk = kloop(topk_body, det0, consts=(tag0,))
     report("exact NMS+top-k (Pallas, 448^2)", t_topk)
 
     # ---- 4. grouping (hungarian) on captured peaks -------------------------
@@ -155,13 +164,13 @@ def main():
     )(det0, tag0)
     from litepose_tpu.ops.pallas_group import match_by_tag_batch_pallas
 
-    def group_body(i, carry):
+    def group_body(i, carry, tk, lk):
         vk, acc = carry
-        people, n_cl = match_by_tag_batch_pallas(
-            tag_k0.astype(jnp.float32), loc_k0.astype(jnp.float32),
-            vk + acc * 1e-30, gcfg)
+        people, n_cl = match_by_tag_batch_pallas(tk, lk, vk + acc * 1e-30, gcfg)
         return vk, jnp.sum(people) * 1e-9
-    t_group = kloop(group_body, val_k0.astype(jnp.float32), K=6)
+    t_group = kloop(group_body, val_k0.astype(jnp.float32), K=6,
+                    consts=(tag_k0.astype(jnp.float32),
+                            loc_k0.astype(jnp.float32)))
     report("grouping (lane-vectorized JV)", t_group)
 
     # ---- 5. adjust + refine ------------------------------------------------
@@ -172,27 +181,27 @@ def main():
     from litepose_tpu.ops.group import adjust
     from litepose_tpu.ops.pallas_refine import refine_batch
 
-    def adj_body(i, carry):
+    def adj_body(i, carry, det0):
         p, acc = carry
         out = jax.vmap(adjust)(p + acc * 1e-30, det0)
         return p, jnp.sum(out) * 1e-9
-    t_adj = kloop(adj_body, people0, K=6)
+    t_adj = kloop(adj_body, people0, K=6, consts=(det0,))
     report("adjust (quarter-pixel)", t_adj)
 
-    def refine_body(i, carry):
+    def refine_body(i, carry, det0, tag0):
         p, acc = carry
         out = refine_batch(p + acc * 1e-30, det0, tag0)
         return p, jnp.sum(out) * 1e-9
-    t_ref = kloop(refine_body, people0, K=6)
+    t_ref = kloop(refine_body, people0, K=6, consts=(det0, tag0))
     report("refine (penalized argmax fill)", t_ref)
 
     # ---- 6. total protocol step -------------------------------------------
-    def proto_body(i, carry):
+    def proto_body(i, carry, params, state):
         x, acc = carry
         det, tagt = infer_proto(params, state, feedback(x, acc))
         people, scores, n = parse_batch(det, tagt, gcfg, True, True)
         return x, jnp.sum(scores) * 1e-9
-    t_total = kloop(proto_body, imf)
+    t_total = kloop(proto_body, imf, consts=(params, state))
     report("TOTAL protocol step", t_total)
     pieces = t_infer + t_topk + t_group + t_adj + t_ref
     report("  sum of pieces", pieces)

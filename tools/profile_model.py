@@ -93,31 +93,37 @@ def main():
     def report(label, dt):
         print(f"{label:44s} {dt * 1e3:8.2f} ms/b{B} = {B / dt:7.1f} img/s", flush=True)
 
-    def kloop(make_body, x, K=6, N=3):
-        def run(x, K):
-            _, acc = lax.fori_loop(0, K, make_body, (x, jnp.float32(0)), unroll=False)
+    def kloop(make_body, x, K=6, N=3, consts=()):
+        # Tunnel-compile rules: large operands (weights, maps) ride as jit
+        # ARGUMENTS — closures serialize into the axon remote-compile
+        # request (slow tunnel, HTTP 413 at map sizes); the trip count is
+        # TRACED so the K=1 and K=K timings share one compiled program.
+        @jax.jit
+        def run(x, K, *consts):
+            def body(i, carry):
+                return make_body(i, carry, *consts)
+            _, acc = lax.fori_loop(0, K, body, (x, jnp.float32(0)), unroll=False)
             return acc
-        runK = jax.jit(lambda x: run(x, K))
-        run1 = jax.jit(lambda x: run(x, 1))
-        float(run1(x)); float(runK(x))
+        K1 = jnp.int32(1); KK = jnp.int32(K)
+        float(run(x, K1, *consts)); float(run(x, KK, *consts))
         t1s, tKs = [], []
         for _ in range(N):
-            t0 = time.perf_counter(); float(run1(x)); t1s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(runK(x)); tKs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(run(x, K1, *consts)); t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(run(x, KK, *consts)); tKs.append(time.perf_counter() - t0)
         return (float(np.median(tKs)) - float(np.median(t1s))) / (K - 1)
 
     # ---- full forward (eval) ------------------------------------------------
     xb = jnp.asarray(rng.standard_normal((B, arch.img_size, arch.img_size, 3)),
                      jnp.bfloat16)
 
-    def fwd_body(i, carry):
+    def fwd_body(i, carry, params, state):
         x, acc = carry
         outs, _ = apply_litepose(params, state, x, spec, arch, train=False,
                                  out_dtype=jnp.bfloat16)
         s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
         return (x * (1.0 + s * 1e-30)).astype(x.dtype), acc + s
 
-    report("forward (eval, bf16)", kloop(fwd_body, xb))
+    report("forward (eval, bf16)", kloop(fwd_body, xb, consts=(params, state)))
 
     # ---- serve step ---------------------------------------------------------
     if args.forward_only:
@@ -143,7 +149,7 @@ def main():
     xu8 = jnp.asarray(rng.integers(0, 255, (B, arch.img_size, arch.img_size, 3)),
                       jnp.uint8)
 
-    def serve_body(i, carry):
+    def serve_body(i, carry, params, state):
         images, acc = carry
         heat, tag = infer(params, state,
                           jnp.clip(images + acc * 1e-9, 0, 255).astype(jnp.uint8))
@@ -152,7 +158,7 @@ def main():
         return images, jnp.sum(scores) * 1e-9
 
     report("serve step (fwd + fused decode)",
-           kloop(serve_body, xu8.astype(jnp.float32)))
+           kloop(serve_body, xu8.astype(jnp.float32), consts=(params, state)))
 
     # ---- per-stage backbone chains ------------------------------------------
     if args.sections:
@@ -172,14 +178,14 @@ def main():
             bs = jax.tree_util.tree_map(off, bs)
             xs = jnp.asarray(rng.standard_normal((B, hw, hw, c)), jnp.bfloat16)
 
-            def blk_body(i, carry, bp=bp, bs=bs):
+            def blk_body(i, carry, bp, bs):
                 x, acc = carry
                 y, _ = L.inv_bottleneck_apply(bp, bs, x, stride=1, train=False)
                 y = y.astype(jnp.bfloat16)
                 return y, acc + jnp.sum(
                     lax.slice(y, (0,) * y.ndim, (1,) * y.ndim).astype(jnp.float32))
 
-            dt = kloop(blk_body, xs, K=12)
+            dt = kloop(blk_body, xs, K=12, consts=(bp, bs))
             print(f"stage{si} inv_bottleneck @{hw} c{c} x{st.num_blocks}: "
                   f"{dt * 1e3:7.3f} ms/block -> {dt * st.num_blocks * 1e3:7.2f} ms total",
                   flush=True)
