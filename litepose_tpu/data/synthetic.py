@@ -185,20 +185,26 @@ def make_fixture(tmpdir, num_joints=14, n_images=4, h=160, w=200, seed=0,
 
 
 def bench_scene_batch(batch: int, size: int, num_joints: int = 14,
-                      seed: int = 7) -> np.ndarray:
+                      seed: int = 7, return_gt: bool = False):
     """Deterministic uint8 RGB batch of multi-person stick-figure scenes at
     ``size`` x ``size`` — the bench input when a trained checkpoint is
-    available (peaks land where people are, so decode load is realistic)."""
+    available (peaks land where people are, so decode load is realistic).
+
+    return_gt=True also returns, per image, the list of drawn people as
+    (num_joints, 3) keypoint arrays — real ground truth for metric-level
+    parity gates (tests/test_e2e_map_parity.py)."""
     import cv2
 
     rng = np.random.default_rng(seed)
     out = np.empty((batch, size, size, 3), np.uint8)
+    gts: List[List[np.ndarray]] = []
     for b in range(batch):
         img = rng.uniform(0, 60, (size, size, 3)).astype(np.uint8)
         # density/size matched to the make_bench_ckpt training fixture
         # (scaled by size/512): decode load must be in-distribution for the
         # trained checkpoint or peak amplitudes collapse
         n_people = int(rng.integers(2, 7))
+        people = []
         for _ in range(n_people):
             cx = rng.uniform(40, size - 40)
             cy = rng.uniform(40, size - 40)
@@ -207,5 +213,7 @@ def bench_scene_batch(batch: int, size: int, num_joints: int = 14,
                 _person_keypoints(rng, cx, cy, psize, num_joints)
             ).reshape(-1, 3)
             _draw_person(img, kps)
+            people.append(kps)
         out[b] = img
-    return out
+        gts.append(people)
+    return (out, gts) if return_gt else out

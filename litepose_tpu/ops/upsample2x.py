@@ -60,8 +60,9 @@ def upsample2x_bilinear(x: jnp.ndarray, axes=(-2, -1)) -> jnp.ndarray:
 
     NOTE (measured, round-4): XLA-TPU lowers the stack+reshape interleave
     catastrophically (eval glue 15.4 -> 121.5 ms/b32); this form is kept as
-    the readable spec and for CPU use.  The production fast path is
-    :func:`upsample2x_deconv` (stride-2 depthwise transposed conv)."""
+    the readable spec and for CPU use.  The production path is
+    ``jax.image.resize`` in ``core/inference.py`` (8.0 ms);
+    :func:`upsample2x_deconv` is a refuted alternative (23.9 ms)."""
     for ax in axes:
         x = _up2_axis(x, ax)
     return x
