@@ -125,7 +125,7 @@ class PoseEngine:
 
             def fused(params, state, images_u8):
                 det, tagt = infer(params, state, images_u8)
-                return parse_batch(det, tagt, gcfg, wa, wr)
+                return parse_batch(det, tagt, gcfg, wa, wr, tag_layout="thw")
 
             self._fused[key] = (
                 self._jit_batched(fused) if sharded else jax.jit(fused)

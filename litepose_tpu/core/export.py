@@ -61,7 +61,7 @@ def fused_body(engine, in_hw: Optional[Tuple[int, int]] = None,
 
     def fused(params, state, images_u8):
         det, tagt = infer(params, state, images_u8)
-        return parse_batch(det, tagt, gcfg, wa, wr)
+        return parse_batch(det, tagt, gcfg, wa, wr, tag_layout="thw")
 
     return fused
 

@@ -145,14 +145,19 @@ def make_infer_fn(
     tags (B,H,W,J,T)) with flip/projection folded in.
 
     decode_layout=True returns the decode layout directly — det (B,J,H,W),
-    tag (B,J,H,W,T), i.e. ``to_decode_layout`` pre-applied — with the
-    transpose done BEFORE the projection resize.  Transpose and resize
-    commute (the bilinear weights act on the H/W dims either way, identical
-    per-element arithmetic), but the order matters for speed: the NHWC->
-    NJHW transpose moves 4x less data at the pre-projection resolution, and
-    the NCHW resize runs with W on the vector lanes instead of J=14 of 128
-    (measured 16.8 -> ~7 ms/b32 of eval-protocol glue at 448; PERF_NOTES
-    round-4).  Bit-parity with the post-projection transpose is pinned in
+    tag (B,J,T,H,W) (the ``tag_layout="thw"`` form of ``parse_batch``) —
+    with the transpose done BEFORE the projection resize.  Transpose and
+    resize commute (the bilinear weights act on the H/W dims either way,
+    identical per-element arithmetic), but the order matters for speed: the
+    NHWC->NJHW transpose moves 4x less data at the pre-projection
+    resolution, and the NCHW resize runs with W on the vector lanes instead
+    of J=14 of 128 (measured 16.8 -> ~7 ms/b32 of eval-protocol glue at
+    448; PERF_NOTES round-4).  Stacking the T tag sets on axis 2 BEFORE the
+    projection (round 5) removes two further full-resolution tag
+    materializations: the (..., T=2)-minor stack after the resize and the
+    (B,K,H,W,T)->(B,K,T,H,W) transpose the refine kernel needed (both
+    full 28-plane passes with a 2-wide minor dim).  Bit-parity with the
+    post-projection transpose+stack is pinned in
     tests/test_inference_pipeline.py."""
 
     def infer(params, state, images_u8):
@@ -188,11 +193,17 @@ def make_infer_fn(
         if decode_layout:
             heat = jnp.transpose(heat, (0, 3, 1, 2))  # (B, J, h, w)
             tags = [jnp.transpose(t, (0, 3, 1, 2)) for t in tags]
+            # stack on axis 2 at the LOW resolution (cheap; minor dims stay
+            # h, w), then resize H/W once — same per-element arithmetic as
+            # resize-then-stack, no full-res re-materialization
+            tag = jnp.stack(tags, axis=2)  # (B, J, T, h, w)
             if project_hw is not None:
                 heat = _resize_nchw(heat, project_hw)
-                tags = [_resize_nchw(t, project_hw) for t in tags]
-            tag = jnp.stack(tags, axis=-1)  # (B, J, H, W, T)
-            return heat, tag
+                n, j, t = tag.shape[:3]
+                tag = jax.image.resize(
+                    tag, (n, j, t, project_hw[0], project_hw[1]), "bilinear"
+                )
+            return heat, tag  # tag_layout="thw"
 
         if project_hw is not None:
             heat = _resize_bilinear(heat, project_hw)

@@ -435,6 +435,118 @@ def extract_subnet(super_params, super_state, arch: ArchConfig, dims: SuperDims,
     return params, state
 
 
+def inject_subnet(super_params, super_state, params, state, arch: ArchConfig,
+                  dims: SuperDims, spec: ModelSpec):
+    """Write a fixed-subnet (params, state) into the LEADING channel slices
+    of a supernet — the exact inverse of :func:`extract_subnet` for
+    full-kernel (k == max) architectures, so
+    ``extract_subnet(inject_subnet(sp, ss, p, s, arch), arch) == (p, s)``.
+
+    Warm-starts NAS from a trained subnet checkpoint: candidates that share
+    the subnet's leading channels inherit its behavior, giving the
+    AccuracyPredictor a differentiating signal without a full supernet
+    training run.  (The reference has no inverse of its weight_transfer.py;
+    this is new infrastructure.)  Kernel-cropped (k < max) blocks are not
+    invertible through the learned 7->5/3 transforms and are rejected."""
+    import jax.numpy as jnp
+
+    sp = jax.tree_util.tree_map(jnp.asarray, super_params)
+    ss = jax.tree_util.tree_map(jnp.asarray, super_state)
+
+    def set_conv(dst, src, cin, cout):
+        return {"w": dst["w"].at[:, :, :cin, :cout].set(src["w"])}
+
+    def set_bn(dstp, dsts, srcp, srcs, c):
+        return (
+            {"scale": dstp["scale"].at[:c].set(srcp["scale"]),
+             "bias": dstp["bias"].at[:c].set(srcp["bias"])},
+            {"mean": dsts["mean"].at[:c].set(srcs["mean"]),
+             "var": dsts["var"].at[:c].set(srcs["var"])},
+        )
+
+    ic = arch.input_channel
+    sp["first"]["cbr0"] = params["first"]["cbr0"]
+    sp["first"]["cbr1"] = params["first"]["cbr1"]
+    ss["first"]["cbr0"] = state["first"]["cbr0"]
+    ss["first"]["cbr1"] = state["first"]["cbr1"]
+    sp["first"]["conv2"] = set_conv(sp["first"]["conv2"],
+                                    params["first"]["conv2"], STEM_CHANNELS, ic)
+    sp["first"]["bn2"], ss["first"]["bn2"] = set_bn(
+        sp["first"]["bn2"], ss["first"]["bn2"],
+        params["first"]["bn2"], state["first"]["bn2"], ic)
+
+    cin = ic
+    for si, st in enumerate(arch.backbone_setting):
+        for bi in range(st.num_blocks):
+            t, k = st.block_setting[bi]
+            if k != dims.kernel:
+                raise ValueError(
+                    f"inject_subnet: stage {si} block {bi} kernel {k} != "
+                    f"max {dims.kernel} — kernel-cropped blocks are not "
+                    f"invertible")
+            feat = round(cin * t)
+            dst = sp["stage"][si][bi]
+            dss = ss["stage"][si][bi]
+            src = params["stage"][si][bi]
+            srs = state["stage"][si][bi]
+            dst["inv"]["conv"] = set_conv(dst["inv"]["conv"],
+                                          src["inv"]["conv"], cin, feat)
+            dst["depth"]["conv"] = {
+                "w": dst["depth"]["conv"]["w"].at[:, :, :, :feat].set(
+                    src["depth"]["conv"]["w"])
+            }
+            dst["point"]["conv"] = set_conv(dst["point"]["conv"],
+                                            src["point"]["conv"], feat,
+                                            st.channel)
+            for name, width in (("inv", feat), ("depth", feat),
+                                ("point", st.channel)):
+                dst[name]["bn"], dss[name]["bn"] = set_bn(
+                    dst[name]["bn"], dss[name]["bn"],
+                    src[name]["bn"], srs[name]["bn"], width)
+            cin = st.channel
+
+    channels = list(arch.stage_channels)
+    filters = arch.deconv_setting
+    inplanes = channels[-1]
+    for i in range(spec.num_deconv_layers):
+        raw_c = channels[-i - 2]
+        sp["deconv_refined"][i] = {
+            "w": sp["deconv_refined"][i]["w"].at[
+                :, :, :inplanes, : filters[i]].set(
+                params["deconv_refined"][i]["w"])
+        }
+        sp["deconv_raw"][i] = {
+            "w": sp["deconv_raw"][i]["w"].at[:, :, :raw_c, : filters[i]].set(
+                params["deconv_raw"][i]["w"])
+        }
+        sp["deconv_bn"][i], ss["deconv_bn"][i] = set_bn(
+            sp["deconv_bn"][i], ss["deconv_bn"][i],
+            params["deconv_bn"][i], state["deconv_bn"][i], filters[i])
+        inplanes = filters[i]
+
+    for i, cout in enumerate(spec.final_channels(), start=1):
+        for key, cin_f, src_p, src_s in (
+            ("final_refined", filters[i], params["final_refined"][i - 1],
+             state["final_refined"][i - 1]),
+            ("final_raw", channels[-i - 3], params["final_raw"][i - 1],
+             state["final_raw"][i - 1]),
+        ):
+            dst = sp[key][i - 1]
+            dss = ss[key][i - 1]
+            dst["dw"]["conv"] = {
+                "w": dst["dw"]["conv"]["w"].at[:, :, :, :cin_f].set(
+                    src_p["dw"]["conv"]["w"])
+            }
+            dst["pw"]["conv"] = {
+                "w": dst["pw"]["conv"]["w"].at[:, :, :cin_f, :cout].set(
+                    src_p["pw"]["conv"]["w"])
+            }
+            dst["dw"]["bn"], dss["dw"]["bn"] = set_bn(
+                dst["dw"]["bn"], dss["dw"]["bn"],
+                src_p["dw"]["bn"], src_s["dw"]["bn"], cin_f)
+    return sp, ss
+
+
 # --------------------------------------------------------------------------
 # channel re-organization by importance
 # --------------------------------------------------------------------------

@@ -269,9 +269,16 @@ def parse_single(
     return people, scores, n_cl
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_adjust", "with_refine"))
-def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=True):
-    """Batched decode: det (B,K,H,W), tag (B,K,H,W,T).
+@functools.partial(jax.jit, static_argnames=("cfg", "with_adjust", "with_refine",
+                                              "tag_layout"))
+def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=True,
+                tag_layout: str = "hwt"):
+    """Batched decode: det (B,K,H,W), tag (B,K,H,W,T) (tag_layout="hwt",
+    the ``to_decode_layout`` form) or (B,K,T,H,W) (tag_layout="thw", the
+    ``make_infer_fn(decode_layout=True)`` form — preferred on the hot path:
+    the T-minor stack and the refine kernel's (B,K,T,H,W) transpose are
+    both full-resolution passes with a 2-wide minor dim that this layout
+    never materializes).
 
     Both assignment modes (greedy serving AND exact-Hungarian eval, tag
     dim <= 2) group in one Pallas kernel — batch on the 128 VPU lanes, the
@@ -283,12 +290,18 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
     so the eval path uses them too."""
     from .pallas_refine import refine_batch
 
+    assert tag_layout in ("hwt", "thw")
+    T = tag.shape[2] if tag_layout == "thw" else tag.shape[-1]
+
     def peaks_batched(det, tag):
         if cfg.topk_method == "exact" and cfg.nms_padding == cfg.nms_kernel // 2:
             from .pallas_topk import top_k_peaks_batch
 
             return top_k_peaks_batch(det, tag, cfg.max_people, cfg.nms_kernel,
-                                     interpret=cfg.interpret)
+                                     interpret=cfg.interpret,
+                                     tag_layout=tag_layout)
+        if tag_layout == "thw":  # vmap fallback consumes (K, H, W, T)
+            tag = jnp.transpose(tag, (0, 1, 3, 4, 2))
         return jax.vmap(
             lambda d, t: top_k_peaks(
                 d, t, cfg.max_people, cfg.nms_kernel, cfg.nms_padding,
@@ -303,7 +316,7 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
     # the Pallas kernel covers both assignment modes for T<=2 (greedy
     # serving and the lane-vectorized exact Hungarian); gathered peaks are
     # tiny, so grouping runs in fp32 even when the maps are bf16
-    if tag.shape[-1] <= 2 and cfg.max_people == val_k.shape[-1]:
+    if T <= 2 and cfg.max_people == val_k.shape[-1]:
         from .pallas_group import match_by_tag_batch_pallas
 
         people, n_cl = match_by_tag_batch_pallas(tag_k, loc_k, val_k, cfg)
@@ -315,5 +328,6 @@ def parse_batch(det, tag, cfg: StaticGroupCfg, with_adjust=True, with_refine=Tru
         people = jax.vmap(adjust)(people, det)
     scores = jnp.mean(people[..., 2], axis=-1)
     if with_refine:
-        people = refine_batch(people, det, tag, interpret=cfg.interpret)
+        people = refine_batch(people, det, tag, interpret=cfg.interpret,
+                              tag_layout=tag_layout)
     return people, scores, n_cl

@@ -119,12 +119,14 @@ def refine_argmax_pallas(need, prev, det, tag_t, interpret=None):
     )(need, prev, det, tag_t)
 
 
-def refine_batch(people, det, tag, interpret=None):
+def refine_batch(people, det, tag, interpret=None, tag_layout: str = "hwt"):
     """Batched ``group.refine``: people (B,P,K,3+T), det (B,K,H,W),
-    tag (B,K,H,W,T) -> refined people.  Same semantics, one HBM pass."""
+    tag (B,K,H,W,T) (tag_layout="hwt") or (B,K,T,H,W) ("thw" — the kernel's
+    native layout: no full-resolution transpose pass) -> refined people.
+    Same semantics, one HBM pass."""
     B, P, K, _ = people.shape
     H, W = det.shape[-2:]
-    T = tag.shape[-1]
+    T = tag.shape[2] if tag_layout == "thw" else tag.shape[-1]
     det = det.astype(jnp.float32)
     tag = tag.astype(jnp.float32)
 
@@ -135,7 +137,12 @@ def refine_batch(people, det, tag, interpret=None):
     yi = jnp.clip(people[..., 1].astype(jnp.int32), 0, H - 1)
     kk = jnp.broadcast_to(jnp.arange(K)[None, None, :], (B, P, K))
     bb = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, P, K))
-    tags_at = tag[bb, kk, yi, xi]  # (B, P, K, T)
+    if tag_layout == "thw":
+        # advanced indices split by the slice -> broadcast dims first:
+        # (B, P, K, T)
+        tags_at = tag[bb, kk, :, yi, xi]
+    else:
+        tags_at = tag[bb, kk, yi, xi]  # (B, P, K, T)
     cnt = jnp.maximum(jnp.sum(sel, axis=-1), 1)  # (B, P)
     prev = (
         jnp.sum(jnp.where(sel[..., None], tags_at, 0.0), axis=2)
@@ -149,7 +156,10 @@ def refine_batch(people, det, tag, interpret=None):
     need = (exists[..., None] & (~sel)).astype(jnp.int32)  # (B, P, K)
 
     # ---- penalized argmax, one pass over det/tag (Pallas) ----
-    tag_t = jnp.transpose(tag, (0, 1, 4, 2, 3))  # (B, K, T, H, W)
+    if tag_layout == "thw":
+        tag_t = tag  # already the kernel layout
+    else:
+        tag_t = jnp.transpose(tag, (0, 1, 4, 2, 3))  # (B, K, T, H, W)
     pos = refine_argmax_pallas(
         jnp.transpose(need, (0, 2, 1)), prev, det, tag_t, interpret
     )  # (B, K, P)

@@ -224,8 +224,9 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
     # planes per grid step: the double-buffered input block + fp32 scratch
     # must fit VMEM at any decode resolution (project2image evals reach
     # ~512x704 planes).  ~4x per-plane residency (pipelined input blocks +
-    # suppressed-plane scratch); 48 MB budget of the 128 MB v5e VMEM keeps
-    # KB = 14 (all joint planes in one step) through 512x704.
+    # suppressed-plane scratch); the 48 MB budget of the 128 MB v5e VMEM
+    # keeps KB = 14 (all joint planes in one step) through 448^2; larger
+    # planes chunk (512x704 runs at KB = 8) with identical results.
     per_plane = H * W * 4
     KB = max(1, min(K, _vmem_budget // (4 * per_plane)))
     n_chunks = -(-K // KB)
@@ -246,11 +247,16 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
     val, pos = pl.pallas_call(
         kern,
         grid=(B, n_chunks),
-        # Mosaic's default scoped-VMEM limit is 16 MB; the KB=14 block +
-        # suppressed-plane scratch + NMS temporaries need ~3.5 plane-sets
-        # (measured OOM at 36.75M requested).  v5e has 128 MB VMEM.
+        # Mosaic's default scoped-VMEM limit is 16 MB; the actual scoped
+        # need scales with the block: double-buffered (KB,H,W) input +
+        # suppressed-plane scratch + the NMS shift temporaries (Mosaic
+        # materializes the concats) — measured 85.62M requested at
+        # KB=14/448^2 (~7.7 plane-sets).  Scale the limit with the block
+        # (9 plane-sets, floor at the 16 MB default) instead of pinning a
+        # v5e-class constant, so small-VMEM parts (v2/v3: 16 MB) still
+        # accept the small-KB configurations that fit.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 2**20),
+            vmem_limit_bytes=max(16 * 2**20, 9 * KB * per_plane)),
         in_specs=[
             pl.BlockSpec((1, KB, H, W), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -273,17 +279,26 @@ def nms_topk_pallas(det, max_people: int, nms_kernel: int = 5,
 
 
 def top_k_peaks_batch(det, tag, max_people: int, nms_kernel: int = 5,
-                      interpret=None):
-    """Batched exact peak extraction: det (B,K,H,W), tag (B,K,H,W,T) ->
+                      interpret=None, tag_layout: str = "hwt"):
+    """Batched exact peak extraction: det (B,K,H,W), tag (B,K,H,W,T)
+    (tag_layout="hwt") or (B,K,T,H,W) ("thw") ->
     (tag_k (B,K,M,T), loc_k (B,K,M,2) f32 xy, val_k (B,K,M) f32).
 
     Fused-kernel equivalent of ``jax.vmap(top_k_peaks)`` with
     method='exact' and the torch-default padding (k//2)."""
     B, K, H, W = det.shape
-    T = tag.shape[-1]
     val_k, ind = nms_topk_pallas(det, max_people, nms_kernel, _interp=interpret)
-    tag_flat = tag.reshape(B, K, H * W, T)
-    tag_k = jnp.take_along_axis(tag_flat, ind[..., None], axis=2)
+    if tag_layout == "thw":
+        T = tag.shape[2]
+        tag_flat = tag.reshape(B, K, T, H * W)
+        tag_k = jnp.transpose(
+            jnp.take_along_axis(tag_flat, ind[:, :, None, :], axis=3),
+            (0, 1, 3, 2),
+        )  # (B, K, M, T)
+    else:
+        T = tag.shape[-1]
+        tag_flat = tag.reshape(B, K, H * W, T)
+        tag_k = jnp.take_along_axis(tag_flat, ind[..., None], axis=2)
     x = (ind % W).astype(jnp.float32)
     y = (ind // W).astype(jnp.float32)
     loc_k = jnp.stack([x, y], axis=3)

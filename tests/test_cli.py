@@ -13,7 +13,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, cwd, timeout=1200):
+# 2400s: the train CLI alone takes ~740s on a 1-core host with a cold
+# compile cache; 1200 left no headroom for any co-running load
+def _run(args, cwd, timeout=2400):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -183,6 +183,28 @@ def test_device_parse_empty_image():
     assert np.all(np.asarray(people) == 0)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_device_parse_thw_tag_layout(seed):
+    """parse_batch(tag_layout='thw') — the decode-layout fast path's
+    (B,K,T,H,W) tags — must be bit-identical to the default (B,K,H,W,T)
+    form through the full decode (top-k gather, grouping, refine)."""
+    from litepose_tpu.ops.group import StaticGroupCfg, parse_batch
+
+    p = GroupParams(num_joints=14, detection_threshold=0.1, nms_kernel=5,
+                    nms_padding=2)
+    det, tag = _synthetic_scene(seed, n_people=4)
+    # two tag features (the flip-test protocol shape)
+    tag2 = np.concatenate([tag, tag * 0.9 + 0.01], axis=-1)
+    cfg = StaticGroupCfg.from_params(p)
+
+    ph, sh, nh = parse_batch(det[None], tag2[None], cfg)
+    tag_t = np.ascontiguousarray(np.transpose(tag2[None], (0, 1, 4, 2, 3)))
+    pt, st, nt = parse_batch(det[None], tag_t, cfg, tag_layout="thw")
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(pt))
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(st))
+    np.testing.assert_array_equal(np.asarray(nh), np.asarray(nt))
+
+
 @pytest.mark.slow  # ~43s; the 14-joint device-parse parity stays in the fast set
 def test_device_parse_17_joints_coco_order():
     """COCO joint count exercises the non-trivial grouping order."""

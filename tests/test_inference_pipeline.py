@@ -286,11 +286,13 @@ def test_flip_concat_matches_twopass():
 
 
 def test_decode_layout_commutes_with_projection(built_pair):
-    """make_infer_fn(decode_layout=True) — transpose at the aggregation
-    resolution, then NCHW projection — must be bit-identical to the
-    NHWC-project-then-transpose path (to_decode_layout after projection):
-    bilinear resize acts on the H/W dims with the same 1D kernels either
-    way, so the two orders commute exactly."""
+    """make_infer_fn(decode_layout=True) — transpose + T-stack at the
+    aggregation resolution, then NCHW projection — must be bit-identical to
+    the NHWC-project-then-transpose-then-stack path (to_decode_layout after
+    projection): bilinear resize acts on the H/W dims with the same 1D
+    kernels either way, and stacking commutes with per-plane resize, so the
+    orders commute exactly.  decode_layout tags are (B, J, T, H, W)
+    (tag_layout="thw"; round 5 — no full-resolution T-minor stack)."""
     import jax
 
     from litepose_tpu.core.inference import make_infer_fn, to_decode_layout
@@ -303,19 +305,21 @@ def test_decode_layout_commutes_with_projection(built_pair):
     dl = make_infer_fn(engine.apply_fn, flags, project_hw=(192, 192),
                        decode_layout=True)
     heat, tag = jax.jit(base)(engine.params, engine.state, imgs)
-    det_ref, tag_ref = to_decode_layout(heat, tag)
+    det_ref, tag_ref = to_decode_layout(heat, tag)  # (B, J, H, W, T)
+    tag_ref = np.transpose(np.asarray(tag_ref), (0, 1, 4, 2, 3))
     det, tagt = jax.jit(dl)(engine.params, engine.state, imgs)
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det_ref))
-    np.testing.assert_array_equal(np.asarray(tagt), np.asarray(tag_ref))
+    np.testing.assert_array_equal(np.asarray(tagt), tag_ref)
 
     # and without projection (pure transpose reorder)
     base = make_infer_fn(engine.apply_fn, flags)
     dl = make_infer_fn(engine.apply_fn, flags, decode_layout=True)
     heat, tag = jax.jit(base)(engine.params, engine.state, imgs)
     det_ref, tag_ref = to_decode_layout(heat, tag)
+    tag_ref = np.transpose(np.asarray(tag_ref), (0, 1, 4, 2, 3))
     det, tagt = jax.jit(dl)(engine.params, engine.state, imgs)
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det_ref))
-    np.testing.assert_array_equal(np.asarray(tagt), np.asarray(tag_ref))
+    np.testing.assert_array_equal(np.asarray(tagt), tag_ref)
 
 
 def test_upsample2x_matches_jax_resize():

@@ -37,6 +37,25 @@ def test_eval_graph_isolates_depthwise(litepose_xs):
     )
 
 
+def test_eval_graph_isolates_depthwise_b128_serve_shape(litepose_xs):
+    """The barrier must survive at the large-batch serving shape too.
+
+    b128 numbers (round 5, trained ckpt, tools/ab_serving.py): 1173.1 img/s
+    with closure weights vs 1234.9 at b64 — b64 is the documented serving
+    sweet spot; at b128 XLA's fusion choices with folded real constants are
+    worse than at b64 even with the barrier (PERF_NOTES round-3 part 2 #4
+    measured the unbarriered pathology at +12% there).  This guard pins the
+    barrier into the b128-traced graph so the residual can never silently
+    regress to the unbarriered 2.3x class."""
+    spec, arch, params, state, _ = litepose_xs
+    x = jnp.zeros((128, arch.img_size, arch.img_size, 3), jnp.bfloat16)
+    assert _jaxpr_has_barrier(
+        lambda p, s, x: apply_litepose(p, s, x, spec, arch, train=False,
+                                       out_dtype=jnp.bfloat16)[0],
+        params, state, x,
+    )
+
+
 def test_train_graph_has_no_barrier(litepose_xs):
     """Training keeps the unmodified graph (isolate=not train)."""
     spec, arch, params, state, x = litepose_xs

@@ -166,3 +166,36 @@ def test_supernet_registry_and_train_step():
         ts, metrics = fn(ts, batch, desc)
         assert np.isfinite(float(metrics["total"]))
     assert int(ts.step) == 2
+
+
+def test_inject_subnet_roundtrip():
+    """inject_subnet is the exact inverse of extract_subnet: injecting a
+    trained subnet into a supernet and extracting the same arch returns the
+    subnet bit-for-bit, and other leading slices still extract."""
+    from litepose_tpu.models.litepose import init_litepose
+    from litepose_tpu.models.super_litepose import inject_subnet
+
+    manager, dims, spec, sp, ss, _ = _setup()
+    arch = manager.fixed_sample(reso=64, ratio=0.5)
+    # a DIFFERENT seed than the supernet init, so a wrong slice is visible
+    p, s = init_litepose(jax.random.PRNGKey(7), spec, arch)
+
+    sp2, ss2 = inject_subnet(sp, ss, p, s, arch, dims, spec)
+    p2, s2 = extract_subnet(sp2, ss2, arch, dims, spec)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p, p2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s, s2)
+
+    # the masked supernet forward at the injected arch == the subnet forward
+    x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    desc = arch_to_mask_desc(arch, manager)
+    outs_sup, _ = apply_super_litepose(sp2, ss2, x, desc, spec, dims,
+                                       train=False, policy=EXACT)
+    outs_sub, _ = apply_litepose(p, s, x, spec, arch, train=False, policy=EXACT)
+    for a, b in zip(outs_sup, outs_sub):
+        ca = b.shape[-1]
+        np.testing.assert_allclose(np.asarray(a)[..., :ca], np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)

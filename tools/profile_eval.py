@@ -199,7 +199,8 @@ def main():
     def proto_body(i, carry, params, state):
         x, acc = carry
         det, tagt = infer_proto(params, state, feedback(x, acc))
-        people, scores, n = parse_batch(det, tagt, gcfg, True, True)
+        people, scores, n = parse_batch(det, tagt, gcfg, True, True,
+                                        tag_layout="thw")
         return x, jnp.sum(scores) * 1e-9
     t_total = kloop(proto_body, imf, consts=(params, state))
     report("TOTAL protocol step", t_total)
