@@ -199,10 +199,14 @@ def make_infer_fn(
             tag = jnp.stack(tags, axis=2)  # (B, J, T, h, w)
             if project_hw is not None:
                 heat = _resize_nchw(heat, project_hw)
+                # fold T into the channel axis with free reshapes (row-major
+                # contiguous) so the projection stays one 4-D NCHW resize:
+                # the direct 5-D jax.image.resize on (B,J,T,h,w) measured
+                # +16 ms/b32 at 448 (eval protocol 447.7 -> 369.8 img/s)
                 n, j, t = tag.shape[:3]
-                tag = jax.image.resize(
-                    tag, (n, j, t, project_hw[0], project_hw[1]), "bilinear"
-                )
+                tag = _resize_nchw(
+                    tag.reshape(n, j * t, *tag.shape[3:]), project_hw
+                ).reshape(n, j, t, *project_hw)
             return heat, tag  # tag_layout="thw"
 
         if project_hw is not None:

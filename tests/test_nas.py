@@ -157,3 +157,96 @@ def test_accuracy_predictor_end_to_end(tmp_path):
     acc = pred(arch)
     assert isinstance(acc, float) and 0.0 <= acc <= 1.0
     assert pred(arch) == acc  # memoized (no recompute)
+
+
+@pytest.mark.slow
+def test_masked_scoring_matches_extract(tmp_path):
+    """scoring="masked" (desc-traced, one compiled program family per
+    resolution) must agree with scoring="extract" (reference semantics:
+    per-candidate subnet extraction): equal calibrated BN statistics on the
+    active channel slice at exact precision, AP within the bf16 noise class
+    at the production policy (the masked graph contracts over max widths,
+    the extracted graph over subnet widths — XLA tiles them differently, so
+    under bf16 compute the two legally round differently; at
+    Policy.exact() they agree to reassociation noise), and no per-candidate
+    engine rebuild across width mutations."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixture_data import make_fixture
+
+    from litepose_tpu.config import default_config, update_config
+    from litepose_tpu.core.inference import normalize_images
+    from litepose_tpu.data.dataset import PoseDataset
+    from litepose_tpu.models.litepose import (ModelSpec, apply_litepose,
+                                              init_litepose)
+    from litepose_tpu.models.super_litepose import (SuperDims,
+                                                    apply_super_litepose,
+                                                    arch_to_mask_desc,
+                                                    extract_subnet,
+                                                    init_super_litepose)
+    from litepose_tpu.nas.predictors import AccuracyPredictor
+
+    ann, img_dir = make_fixture(str(tmp_path / "fix"), num_joints=14, n_images=4)
+    ds = PoseDataset(ann, img_dir, 14, style="crowdpose", filter_for_train=False)
+
+    cfg = default_config()
+    update_config(
+        cfg,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                     "configs/crowd_pose/mobilenet/supermobile.yaml"),
+        ["TEST.FLIP_TEST", "False"],
+    )
+
+    manager = ArchManager(seed=0)
+    dims = SuperDims.from_manager(manager)
+    spec = ModelSpec(num_joints=14)
+    sp, ss = init_super_litepose(jax.random.PRNGKey(0), spec, dims)
+    arch = manager.fixed_sample(reso=64, ratio=0.5)
+
+    # --- calibrated BN stats agree on the active slice -------------------
+    rng = np.random.default_rng(3)
+    batches = [rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+               for _ in range(2)]
+
+    from litepose_tpu.models.layers import Policy
+
+    EXACT = Policy.exact()
+    p_sub, s_sub = extract_subnet(sp, ss, arch, dims, spec)
+
+    def train_sub(p, s, u8):
+        return apply_litepose(p, s, normalize_images(u8), spec, arch,
+                              train=True, policy=EXACT)
+
+    s_e = calibrate_bn(jax.jit(train_sub), p_sub, s_sub, batches)
+
+    desc = arch_to_mask_desc(arch, manager)
+
+    def train_masked(p, s, u8):
+        return apply_super_litepose(p["net"], s, normalize_images(u8),
+                                    p["desc"], spec, dims, train=True,
+                                    policy=EXACT)
+
+    s_m_full = calibrate_bn(jax.jit(train_masked), {"net": sp, "desc": desc},
+                            ss, batches)
+    _, s_m = extract_subnet(sp, s_m_full, arch, dims, spec)
+    # atol: calibrate_bn's delta recovery ((new - 0.9 old)/0.1) amplifies
+    # the cross-graph reassociation noise 10x
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-3, rtol=1e-2),
+        s_e, s_m)
+
+    # --- predictor end to end: same AP, engines shared across widths ------
+    kw = dict(n_calib_batches=1, calib_batch_size=2, max_eval_images=2)
+    acc_e = AccuracyPredictor(sp, ss, dims, spec, ds, ds, cfg,
+                              scoring="extract", **kw)
+    acc_m = AccuracyPredictor(sp, ss, dims, spec, ds, ds, cfg,
+                              scoring="masked", **kw)
+    a_e, a_m = acc_e(arch), acc_m(arch)
+    assert a_m == pytest.approx(a_e, abs=0.05)  # bf16 noise class
+
+    arch2 = manager.fixed_sample(reso=64, ratio=0.25)  # width mutation
+    acc_m(arch2)
+    assert len(acc_m._masked_engines) == 1  # same compiled family reused

@@ -153,14 +153,16 @@ def main():
     def topk_body(i, carry, tag0):
         d, acc = carry
         tag_k, loc_k, val_k = top_k_peaks_batch(
-            d + acc * 1e-30, tag0, gcfg.max_people, gcfg.nms_kernel)
+            d + acc * 1e-30, tag0, gcfg.max_people, gcfg.nms_kernel,
+            tag_layout="thw")
         return d, (jnp.sum(val_k) + jnp.sum(tag_k) + jnp.sum(loc_k)) * 1e-9
     t_topk = kloop(topk_body, det0, consts=(tag0,))
     report("exact NMS+top-k (Pallas, 448^2)", t_topk)
 
     # ---- 4. grouping (hungarian) on captured peaks -------------------------
     tag_k0, loc_k0, val_k0 = jax.jit(
-        lambda d, t: top_k_peaks_batch(d, t, gcfg.max_people, gcfg.nms_kernel)
+        lambda d, t: top_k_peaks_batch(d, t, gcfg.max_people, gcfg.nms_kernel,
+                                       tag_layout="thw")
     )(det0, tag0)
     from litepose_tpu.ops.pallas_group import match_by_tag_batch_pallas
 
@@ -190,7 +192,7 @@ def main():
 
     def refine_body(i, carry, det0, tag0):
         p, acc = carry
-        out = refine_batch(p + acc * 1e-30, det0, tag0)
+        out = refine_batch(p + acc * 1e-30, det0, tag0, tag_layout="thw")
         return p, jnp.sum(out) * 1e-9
     t_ref = kloop(refine_body, people0, K=6, consts=(det0, tag0))
     report("refine (penalized argmax fill)", t_ref)

@@ -29,6 +29,12 @@ def main():
     p.add_argument("--population", type=int, default=40)
     p.add_argument("--iterations", type=int, default=40)
     p.add_argument("--max-eval-images", type=int, default=200)
+    p.add_argument("--scoring", choices=("extract", "masked"), default="extract",
+                   help="masked: score candidates through the masked-at-max-"
+                        "width supernet forward — the mask descriptor is a "
+                        "traced argument, so all candidates of a resolution "
+                        "share one compiled program (no per-candidate XLA "
+                        "compile; the TPU-scale search mode)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
@@ -63,18 +69,27 @@ def main():
 
     eff = EfficiencyPredictor(num_joints=cfg.DATASET.NUM_JOINTS)
     acc = AccuracyPredictor(
-        sp, ss, dims, spec, calib, search, cfg, max_eval_images=args.max_eval_images
+        sp, ss, dims, spec, calib, search, cfg,
+        max_eval_images=args.max_eval_images, scoring=args.scoring,
     )
     finder = EvolutionFinder(
         eff, acc, manager,
         population_size=args.population, max_time_budget=args.iterations,
         seed=cfg.SEED,
     )
+    import time
+
+    t0 = time.time()
     best_acc, best_arch, history = finder.run_evolution_search(
         args.constraint, logger=logger
     )
+    wall = time.time() - t0
     best_eff = eff(best_arch)
-    logger.info(f"best AP {best_acc:.4f} at {best_eff:.2f} GMACs")
+    logger.info(
+        f"best AP {best_acc:.4f} at {best_eff:.2f} GMACs "
+        f"({wall:.0f}s wall, {len(acc.cache)} unique candidates scored, "
+        f"scoring={args.scoring})"
+    )
     # Reference-compatible result schema: {"0": [constraint, [acc, arch,
     # eff]]} (/root/reference/search.py:134-139 writes
     # dict[0] = (efficiency_constraint, (best_acc, best_arch, best_eff))).
